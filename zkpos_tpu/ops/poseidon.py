@@ -1,0 +1,146 @@
+"""Batched Poseidon permutation / hashing over Fr on TPU (pure-jnp path).
+
+Computes thousands of Poseidon hashes in parallel across VPU lanes; the
+Pallas-fused variant lives in ops/poseidon_pallas.py.  Parameters come from
+zkpos_tpu.crypto.poseidon_params (bit-compatible with the reference fork for
+the 2-input node hash — see COMPAT.md).
+
+Layout: state is (16, t, B) — limb axis first (matches ops.fr), then state
+position, then batch.  The whole round is a few large fused element-wise ops:
+  ark   : one batched modular add against (16, t, 1) constants
+  sbox  : one batched x^5 chain (full rounds: all t lanes at once)
+  mix   : ONE Montgomery multiply producing all t*t products, then a
+          fold of modular adds over the j axis
+
+Replaces the reference's sequential Go Poseidon calls (leaf hashing at
+witness main.go:181-189, tree build at merkletree.go:236-262).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..crypto.bn254 import R as MODULUS
+from ..crypto import poseidon_params as pp
+from ..crypto.poseidon_ref import OUTPUT_INDEX
+from . import fr
+
+
+@lru_cache(maxsize=None)
+def _mont_params(t: int):
+    """Returns (C, M, r_p): C (rounds, 16, t), M (16, t, t) Montgomery limbs."""
+    consts, mds = pp.generate_params(t)
+    r_p = pp.partial_rounds(t)
+    rounds = pp.R_FULL + r_p
+    c = np.stack([
+        fr.ints_to_limbs([(consts[r * t + i] * fr.R_MONT) % MODULUS
+                          for i in range(t)])
+        for r in range(rounds)
+    ])                                           # (rounds, 16, t)
+    m = np.stack([
+        fr.ints_to_limbs([(mds[i][j] * fr.R_MONT) % MODULUS
+                          for i in range(t)])    # column j: entries M[i][j]
+        for j in range(t)
+    ], axis=-1)                                  # (16, t_i, t_j)
+    return c, m, r_p
+
+
+def _sbox(x):
+    x2 = fr.mont_mul(x, x)
+    x4 = fr.mont_mul(x2, x2)
+    return fr.mont_mul(x4, x)
+
+
+def _mix(state, m_j, t):
+    """state (16, t, B), m_j (16, t, t) -> (16, t, B)."""
+    s_e = state[:, None, :, :]                   # (16, 1, tj, B)
+    m_e = m_j[:, :, :, None]                     # (16, ti, tj, 1)
+    prods = fr.mont_mul(jnp.broadcast_to(m_e, m_e.shape[:1] + (t, t) + state.shape[-1:]),
+                        jnp.broadcast_to(s_e, s_e.shape[:1] + (t, t) + state.shape[-1:]))
+    acc = prods[:, :, 0, :]
+    for j in range(1, t):
+        acc = fr.add(acc, prods[:, :, j, :])
+    return acc
+
+
+def permute(state, t: int):
+    """Poseidon permutation, Montgomery domain.  state: (16, t, B).
+
+    One lax.scan over all R_F + R_P rounds (compact compile graph); each
+    round is ark -> sbox (full/partial via lax.cond) -> mix."""
+    c_np, m_np, r_p = _mont_params(t)
+    c_j = jnp.asarray(c_np)                      # (rounds, 16, t)
+    m_j = jnp.asarray(m_np)                      # (16, t, t)
+    half = pp.R_FULL // 2
+    rounds = pp.R_FULL + r_p
+    is_full = jnp.asarray(
+        [r < half or r >= half + r_p for r in range(rounds)])
+
+    def round_body(s, xs):
+        cr, full = xs
+        s = fr.add(s, jnp.broadcast_to(cr[:, :, None], s.shape))
+
+        def full_sbox(x):
+            return _sbox(x)
+
+        def partial_sbox(x):
+            x0 = _sbox(x[:, 0:1, :])
+            return jnp.concatenate([x0, x[:, 1:, :]], axis=1)
+
+        s = jax.lax.cond(full, full_sbox, partial_sbox, s)
+        return _mix(s, m_j, t), None
+
+    state, _ = jax.lax.scan(round_body, state, (c_j, is_full))
+    return state
+
+
+@partial(jax.jit, static_argnums=1)
+def hash_n_mont(inputs_mont, n: int):
+    """inputs (16, n, B) Montgomery limbs -> digest (16, B), n <= 16."""
+    if not (1 <= n <= 16):
+        raise ValueError("hash_n_mont handles 1..16 inputs per permutation")
+    zero = jnp.zeros_like(inputs_mont[:, 0:1, :])
+    state = jnp.concatenate([zero, inputs_mont], axis=1)
+    return permute(state, n + 1)[:, OUTPUT_INDEX, :]
+
+
+@jax.jit
+def hash2_mont(a, b):
+    """Merkle node hash: (16, B) x (16, B) -> (16, B), Montgomery domain."""
+    return hash_n_mont(jnp.stack([a, b], axis=1), 2)
+
+
+@partial(jax.jit, static_argnums=1)
+def hash_chain_mont(inputs_mont, n: int):
+    """Variadic hash for n > 16 (framework default rule, see COMPAT.md):
+    single permutation of the first 16, then chain 15 at a time with the
+    running digest in the first input slot.  inputs (16, n, B) -> (16, B)."""
+    if n <= 16:
+        return hash_n_mont(inputs_mont, n)
+    digest = hash_n_mont(inputs_mont[:, :16, :], 16)
+    pos = 16
+    while pos < n:
+        chunk = inputs_mont[:, pos:pos + 15, :]
+        k = chunk.shape[1]
+        block = jnp.concatenate([digest[:, None, :], chunk], axis=1)
+        digest = hash_n_mont(block, k + 1)
+        pos += 15
+    return digest
+
+
+# --- host-facing helpers (canonical-domain ints) -----------------------------
+
+def hash_batch(inputs) -> list:
+    """inputs: (n, B) rows of python ints -> list of B digest ints."""
+    n = len(inputs)
+    limbs = np.stack([fr.ints_to_limbs(list(row)) for row in inputs], axis=1)
+    mont = fr.to_mont(jnp.asarray(limbs))       # (16, n, B)
+    if n <= 16:
+        digest = hash_n_mont(mont, n)
+    else:
+        digest = hash_chain_mont(mont, n)
+    return fr.limbs_to_ints(np.asarray(fr.from_mont(digest)))
