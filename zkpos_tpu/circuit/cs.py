@@ -1,0 +1,284 @@
+"""R1CS constraint-system builder + witness solver.
+
+Replaces gnark's `frontend.Compile` / `frontend.NewWitness` pair (reference
+keygen main.go:30, prover.go:260) with a two-mode builder:
+
+  * compile mode — allocate wires, emit constraints (no values);
+  * solve mode   — same circuit code path, but every wire value is computed
+    eagerly (hints run natively), producing the full witness vector.
+
+Constraints are (A, B, C) linear-combination triples with A*B = C.  Variable
+0 is the constant one-wire; public inputs follow, then private/internal
+wires (gnark's Groth16 ordering).
+
+Circuit definitions must be data-independent (static control flow), which
+holds for BatchCreateUserCircuit — the same property that makes the circuit
+TPU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+from ..crypto.bn254 import R as MOD
+
+
+class LC:
+    """Sparse linear combination: const + sum(coeff * var)."""
+
+    __slots__ = ("terms", "const")
+
+    def __init__(self, terms: Optional[Dict[int, int]] = None, const: int = 0):
+        self.terms = terms or {}
+        self.const = const % MOD
+
+    def is_const(self) -> bool:
+        return not self.terms
+
+    def copy(self) -> "LC":
+        return LC(dict(self.terms), self.const)
+
+
+VarLike = Union[LC, int]
+
+
+def _as_lc(v: VarLike) -> LC:
+    if isinstance(v, LC):
+        return v
+    return LC(const=int(v) % MOD)
+
+
+class UnsatisfiedConstraint(Exception):
+    pass
+
+
+class ConstraintSystem:
+    def __init__(self, solve: bool = False, collect_violations: bool = False):
+        self.solve = solve
+        self.collect_violations = collect_violations
+        self.violations: List[str] = []
+        self.num_vars = 1          # var 0 == 1
+        self.num_public = 1        # includes the one-wire
+        self.values: List[int] = [1]   # populated in solve mode
+        # constraints: (A_terms, B_terms, C_terms) with terms [(var, coeff)]
+        self.constraints: List[Tuple[list, list, list]] = []
+        self.hints: List[Tuple[Callable, List[LC], List[int]]] = []
+        self._public_frozen = False
+
+    # -- variable allocation --------------------------------------------------
+
+    def new_public(self, value: Optional[int] = None) -> LC:
+        if self._public_frozen:
+            raise RuntimeError("public inputs must be declared first")
+        idx = self.num_vars
+        self.num_vars += 1
+        self.num_public += 1
+        if self.solve:
+            self.values.append(int(value) % MOD)
+        return LC({idx: 1})
+
+    def new_witness(self, value: Optional[int] = None) -> LC:
+        self._public_frozen = True
+        idx = self.num_vars
+        self.num_vars += 1
+        if self.solve:
+            self.values.append(int(value) % MOD)
+        return LC({idx: 1})
+
+    def _internal(self, value: Optional[int]) -> LC:
+        self._public_frozen = True
+        idx = self.num_vars
+        self.num_vars += 1
+        if self.solve:
+            self.values.append(value % MOD)
+        return LC({idx: 1})
+
+    # -- evaluation -----------------------------------------------------------
+
+    def eval_lc(self, lc: VarLike) -> int:
+        lc = _as_lc(lc)
+        acc = lc.const
+        for var, coeff in lc.terms.items():
+            acc += coeff * self.values[var]
+        return acc % MOD
+
+    # -- constraint emission --------------------------------------------------
+
+    @staticmethod
+    def _lc_terms(lc: LC) -> list:
+        out = [(v, c) for v, c in lc.terms.items()]
+        if lc.const:
+            out.append((0, lc.const))
+        return out
+
+    def _emit(self, a: LC, b: LC, c: LC) -> None:
+        self.constraints.append(
+            (self._lc_terms(a), self._lc_terms(b), self._lc_terms(c)))
+
+    # -- arithmetic -----------------------------------------------------------
+
+    def add(self, *vs: VarLike) -> LC:
+        out = LC()
+        for v in vs:
+            v = _as_lc(v)
+            out.const = (out.const + v.const) % MOD
+            for var, coeff in v.terms.items():
+                nc = (out.terms.get(var, 0) + coeff) % MOD
+                if nc:
+                    out.terms[var] = nc
+                elif var in out.terms:
+                    del out.terms[var]
+        return out
+
+    def sub(self, a: VarLike, b: VarLike) -> LC:
+        return self.add(a, self.scale(b, MOD - 1))
+
+    def scale(self, v: VarLike, k: int) -> LC:
+        v = _as_lc(v)
+        k %= MOD
+        return LC({var: (c * k) % MOD for var, c in v.terms.items() if (c * k) % MOD},
+                  (v.const * k) % MOD)
+
+    def mul(self, a: VarLike, b: VarLike) -> LC:
+        a, b = _as_lc(a), _as_lc(b)
+        if a.is_const():
+            return self.scale(b, a.const)
+        if b.is_const():
+            return self.scale(a, b.const)
+        val = None
+        if self.solve:
+            val = (self.eval_lc(a) * self.eval_lc(b)) % MOD
+        out = self._internal(val)
+        self._emit(a, b, out)
+        return out
+
+    def inverse(self, a: VarLike) -> LC:
+        a = _as_lc(a)
+        val = None
+        if self.solve:
+            av = self.eval_lc(a)
+            val = pow(av, MOD - 2, MOD) if av else 0
+        out = self._internal(val)
+        self._emit(a, out, LC(const=1))
+        return out
+
+    # -- assertions -----------------------------------------------------------
+
+    def _check(self, ok: bool, msg: str) -> None:
+        if self.solve and not ok:
+            if self.collect_violations:
+                self.violations.append(msg)
+            else:
+                raise UnsatisfiedConstraint(msg)
+
+    def assert_is_equal(self, a: VarLike, b: VarLike) -> None:
+        a, b = _as_lc(a), _as_lc(b)
+        d = self.sub(a, b)
+        self._emit(d, LC(const=1), LC())
+        if self.solve:
+            self._check(self.eval_lc(d) == 0,
+                        f"assert_is_equal failed: {self.eval_lc(a)} != {self.eval_lc(b)}")
+
+    def assert_is_boolean(self, a: VarLike) -> None:
+        a = _as_lc(a)
+        # a * (1 - a) == 0
+        self._emit(a, self.sub(1, a), LC())
+        if self.solve:
+            av = self.eval_lc(a)
+            self._check(av in (0, 1), f"assert_is_boolean failed: {av}")
+
+    # -- gadgets --------------------------------------------------------------
+
+    def new_hint(self, fn: Callable, n_out: int, *ins: VarLike) -> List[LC]:
+        """Out-of-circuit computed values (gnark solver hints,
+        prover.go:68).  fn(list_of_int_inputs) -> list_of_int_outputs."""
+        in_lcs = [_as_lc(v) for v in ins]
+        if self.solve:
+            outs = fn([self.eval_lc(v) for v in in_lcs])
+            if len(outs) != n_out:
+                raise ValueError("hint output arity mismatch")
+            return [self._internal(int(o) % MOD) for o in outs]
+        out_vars = [self._internal(None) for _ in range(n_out)]
+        self.hints.append((fn, in_lcs, [next(iter(o.terms)) for o in out_vars]))
+        return out_vars
+
+    def is_zero(self, a: VarLike) -> LC:
+        a = _as_lc(a)
+
+        def inv_hint(ins):
+            v = ins[0]
+            return [pow(v, MOD - 2, MOD) if v else 0, 1 if v == 0 else 0]
+
+        inv, b = self.new_hint(inv_hint, 2, a)
+        # b == 1 - a*inv ; a*b == 0
+        self._emit(a, inv, self.sub(1, b))
+        self._emit(a, b, LC())
+        if self.solve:
+            av = self.eval_lc(a)
+            bv = self.eval_lc(b)
+            self._check(bv == (1 if av == 0 else 0), "is_zero hint mismatch")
+        return b
+
+    def select(self, cond: VarLike, a: VarLike, b: VarLike) -> LC:
+        """cond*a + (1-cond)*b (cond must be boolean; not asserted here,
+        matching gnark api.Select)."""
+        return self.add(self.mul(cond, self.sub(a, b)), b)
+
+    def to_binary(self, v: VarLike, nbits: int) -> List[LC]:
+        """Bit decomposition, low to high (gnark api.ToBinary)."""
+        v = _as_lc(v)
+
+        def bits_hint(ins):
+            x = ins[0]
+            return [(x >> i) & 1 for i in range(nbits)]
+
+        bits = self.new_hint(bits_hint, nbits, v)
+        acc = LC()
+        for i, b in enumerate(bits):
+            self.assert_is_boolean(b)
+            acc = self.add(acc, self.scale(b, 1 << i))
+        self.assert_is_equal(acc, v)
+        return bits
+
+    def range_check(self, v: VarLike, nbits: int) -> None:
+        """rangecheck.New(api).Check(v, nbits) equivalent (bit decomposition;
+        the reference uses a commitment-based lookup argument — same
+        semantics, different constraint encoding)."""
+        self.to_binary(v, nbits)
+
+    def cmp_nop(self, a: VarLike, b: VarLike, nbits: int,
+                bounded: bool = True) -> LC:
+        """Fork-only api.CmpNOp: returns -1/0/1 as field element.  Requires
+        a, b < 2^nbits (caller range-checks when bounded=True)."""
+        if not bounded:
+            self.range_check(a, nbits)
+            self.range_check(b, nbits)
+        d = self.add(self.sub(a, b), 1 << nbits)      # in (0, 2^{nbits+1})
+        bits = self.to_binary(d, nbits + 1)
+        ge = bits[nbits]                              # a >= b
+        eq = self.is_zero(self.sub(a, b))
+        return self.sub(self.sub(self.scale(ge, 2), 1), eq)
+
+    def assert_is_less_or_equal_nop(self, a: VarLike, b: VarLike, nbits: int,
+                                    bounded: bool = True) -> None:
+        """Fork-only api.AssertIsLessOrEqualNOp: a <= b given both < 2^nbits."""
+        if not bounded:
+            self.range_check(a, nbits)
+            self.range_check(b, nbits)
+        self.range_check(self.sub(b, a), nbits)
+
+    # -- satisfiability -------------------------------------------------------
+
+    def eval_terms(self, terms: Sequence[Tuple[int, int]]) -> int:
+        return sum(c * self.values[v] for v, c in terms) % MOD
+
+    def is_satisfied(self) -> bool:
+        if not self.solve:
+            raise RuntimeError("is_satisfied requires solve mode")
+        for a, b, c in self.constraints:
+            if (self.eval_terms(a) * self.eval_terms(b) - self.eval_terms(c)) % MOD:
+                return False
+        return True
+
+    def witness_vector(self) -> List[int]:
+        return list(self.values)
