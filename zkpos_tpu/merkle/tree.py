@@ -24,12 +24,15 @@ from ..crypto.bn254 import R as MODULUS, fr_to_bytes, fr_from_bytes
 from ..crypto.poseidon_ref import poseidon
 from ..ops import fr
 from ..ops.poseidon import hash2_mont
-from ..utils.constants import ACCOUNT_TREE_DEPTH, nil_account_hash_int
+from ..utils import constants as C
+from ..utils.constants import nil_account_hash_int
 
 
-def nil_hashes(depth: int = ACCOUNT_TREE_DEPTH,
+def nil_hashes(depth: int | None = None,
                nil_leaf: int | None = None) -> List[int]:
     """nil_hashes[k] = hash of an empty subtree with 2^k leaves."""
+    if depth is None:
+        depth = C.ACCOUNT_TREE_DEPTH
     h = nil_account_hash_int() if nil_leaf is None else nil_leaf
     out = [h]
     for _ in range(depth):
@@ -41,8 +44,10 @@ def nil_hashes(depth: int = ACCOUNT_TREE_DEPTH,
 class AccountTree:
     """Two-phase tree: stage leaves (host), build (device), read proofs."""
 
-    def __init__(self, depth: int = ACCOUNT_TREE_DEPTH,
+    def __init__(self, depth: int | None = None,
                  capacity: int = 0, nil_leaf: int | None = None):
+        if depth is None:
+            depth = C.ACCOUNT_TREE_DEPTH
         if depth > 32 or depth <= 0:
             raise ValueError("depth out of range")
         if capacity > (1 << depth):
@@ -156,8 +161,10 @@ class AccountTree:
 
 
 def verify_proof(root: bytes, key: int, proof: List[bytes], leaf: bytes,
-                 depth: int = ACCOUNT_TREE_DEPTH) -> bool:
+                 depth: int | None = None) -> bool:
     """merkletree.go:334-355 — LSB-first sibling-order selection."""
+    if depth is None:
+        depth = C.ACCOUNT_TREE_DEPTH
     if len(proof) != depth or key >= (1 << depth):
         return False
     node = fr_from_bytes(leaf)

@@ -15,8 +15,8 @@ from typing import List
 
 from ..crypto.bn254 import R as MOD, fr_from_bytes, fr_to_bytes
 from ..crypto.poseidon_ref import poseidon
-from .constants import (ASSET_COUNTS, MAX_TIER_BOUNDARY_VALUE,
-                        PERCENTAGE_MULTIPLIER, TIER_COUNT,
+from . import constants as C
+from .constants import (MAX_TIER_BOUNDARY_VALUE, PERCENTAGE_MULTIPLIER,
                         get_asset_counts_tiers)
 from .types import (AccountAsset, AccountInfo, CexAssetInfo, TierRatio,
                     empty_tier_ratios, is_asset_empty)
@@ -132,7 +132,7 @@ def cex_asset_elements(asset: CexAssetInfo) -> List[int]:
 
 def _pad_cex_assets(cex_assets: List[CexAssetInfo]) -> List[CexAssetInfo]:
     padded = list(cex_assets)
-    for i in range(len(cex_assets), ASSET_COUNTS):
+    for i in range(len(cex_assets), C.ASSET_COUNTS):
         padded.append(CexAssetInfo(
             symbol="reserved", index=i,
             loan_ratios=empty_tier_ratios(),
@@ -189,11 +189,11 @@ def calculate_asset_value_for_collateral(loan: int, margin: int,
 
 def padding_tier_ratios(ratios: List[TierRatio]) -> List[TierRatio]:
     """utils.go:348-369."""
-    if len(ratios) > TIER_COUNT:
+    if len(ratios) > C.TIER_COUNT:
         raise ValueError("too many tier ratios")
     out = list(ratios)
     last_pre = ratios[-1].precomputed_value if ratios else 0
-    for _ in range(len(ratios), TIER_COUNT):
+    for _ in range(len(ratios), C.TIER_COUNT):
         out.append(TierRatio(boundary_value=MAX_TIER_BOUNDARY_VALUE,
                              ratio=0, precomputed_value=last_pre))
     return out

@@ -11,6 +11,22 @@ import os
 ACCOUNT_TREE_DEPTH = 28          # constants.go:18
 ASSET_COUNTS = 500               # constants.go:19
 TIER_COUNT = 12                  # constants.go:21 (must be even)
+
+
+def configure(asset_counts=None, tier_count=None, tree_depth=None):
+    """Test-size override (framework extension beyond the reference's
+    ZKPOR_TEST_TIERS): shrink the asset universe / tier table / tree depth
+    so full keygen->prove->verify runs are tractable in CI.  Production
+    defaults match the reference exactly."""
+    global ASSET_COUNTS, TIER_COUNT, ACCOUNT_TREE_DEPTH
+    if asset_counts is not None:
+        ASSET_COUNTS = asset_counts
+    if tier_count is not None:
+        if tier_count % 2:
+            raise ValueError("tier_count must be even")
+        TIER_COUNT = tier_count
+    if tree_depth is not None:
+        ACCOUNT_TREE_DEPTH = tree_depth
 R1CS_BATCH_SIZE = 1_000_000      # constants.go:22
 
 PERCENTAGE_MULTIPLIER = 100

@@ -21,8 +21,9 @@ from decimal import Decimal, InvalidOperation
 from typing import Dict, List, Tuple
 
 from ..crypto.bn254 import fr_to_bytes, fr_from_bytes
-from .constants import (ASSET_COUNTS, ASSET_TYPE_FOR_TWO_DIGITS,
-                        MAX_TIER_BOUNDARY_VALUE, get_asset_counts_tiers)
+from . import constants as C
+from .constants import (ASSET_TYPE_FOR_TWO_DIGITS, MAX_TIER_BOUNDARY_VALUE,
+                        get_asset_counts_tiers)
 from .commitments import (calculate_asset_value_for_collateral,
                           calculate_precomputed_value, padding_tier_ratios)
 from .types import AccountAsset, AccountInfo, CexAssetInfo, TierRatio
@@ -109,7 +110,7 @@ def parse_cex_asset_info_from_file(path: str,
         a = by_symbol[sym]
         a.index = i
         out.append(a)
-    for i in range(len(asset_indexes), ASSET_COUNTS):
+    for i in range(len(asset_indexes), C.ASSET_COUNTS):
         out.append(CexAssetInfo(
             symbol="reserved", index=i,
             loan_ratios=padding_tier_ratios([]),

@@ -5,7 +5,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from .constants import ACCOUNT_TREE_DEPTH, MAX_TIER_BOUNDARY_VALUE, TIER_COUNT
+from . import constants as C
+from .constants import MAX_TIER_BOUNDARY_VALUE
 
 
 @dataclass
@@ -78,4 +79,4 @@ def is_asset_empty(a: AccountAsset) -> bool:   # utils.go:111-116
 def empty_tier_ratios() -> List[TierRatio]:
     """Padding tiers (utils.go:348-369 with empty input)."""
     return [TierRatio(boundary_value=MAX_TIER_BOUNDARY_VALUE, ratio=0,
-                      precomputed_value=0) for _ in range(TIER_COUNT)]
+                      precomputed_value=0) for _ in range(C.TIER_COUNT)]
