@@ -11,9 +11,19 @@ import pytest
 
 from zkpos_tpu.utils import constants as C
 
-# shrink BEFORE importing dependents that read sizes at call time
-C.configure(asset_counts=4, tier_count=2, tree_depth=8)
-os.environ["ZKPOR_TEST_TIERS"] = "3:2"
+
+@pytest.fixture(scope="module", autouse=True)
+def _sizes():
+    saved = (C.ASSET_COUNTS, C.TIER_COUNT, C.ACCOUNT_TREE_DEPTH,
+             os.environ.get("ZKPOR_TEST_TIERS"))
+    C.configure(asset_counts=4, tier_count=2, tree_depth=8)
+    os.environ["ZKPOR_TEST_TIERS"] = "3:2"
+    yield
+    C.configure(*saved[:3])
+    if saved[3] is None:
+        os.environ.pop("ZKPOR_TEST_TIERS", None)
+    else:
+        os.environ["ZKPOR_TEST_TIERS"] = saved[3]
 
 from zkpos_tpu.utils.types import AccountAsset, AccountInfo, CexAssetInfo, TierRatio
 from zkpos_tpu.utils.commitments import (calculate_asset_value_for_collateral,

@@ -1,0 +1,47 @@
+"""Groth16 end-to-end on a small Poseidon-preimage circuit."""
+import random
+
+import pytest
+
+from zkpos_tpu.crypto.bn254 import R as MOD
+from zkpos_tpu.crypto.poseidon_ref import poseidon
+from zkpos_tpu.circuit.cs import ConstraintSystem
+from zkpos_tpu.circuit.gadgets import poseidon_gadget
+from zkpos_tpu.groth16 import groth16 as g16
+
+rng = random.Random(42)
+
+
+def build(cs, h=None, a=None, b=None):
+    pub = cs.new_public(h)
+    va = cs.new_witness(a)
+    vb = cs.new_witness(b)
+    out = poseidon_gadget(cs, [va, vb])
+    cs.assert_is_equal(out, pub)
+
+
+@pytest.mark.slow
+def test_groth16_end_to_end():
+    a, b = rng.randrange(MOD), rng.randrange(MOD)
+    h = poseidon([a, b])
+
+    compile_cs = ConstraintSystem(solve=False)
+    build(compile_cs)
+    pk, vk = g16.setup(compile_cs)
+
+    solve_cs = ConstraintSystem(solve=True)
+    build(solve_cs, h, a, b)
+    assert solve_cs.is_satisfied()
+    proof = g16.prove(solve_cs, pk)
+
+    assert g16.verify(proof, vk, [h])
+    assert not g16.verify(proof, vk, [(h + 1) % MOD])
+
+    # proof for a different preimage still verifies for its own public input
+    a2, b2 = rng.randrange(MOD), rng.randrange(MOD)
+    h2 = poseidon([a2, b2])
+    cs2 = ConstraintSystem(solve=True)
+    build(cs2, h2, a2, b2)
+    proof2 = g16.prove(cs2, pk)
+    assert g16.verify(proof2, vk, [h2])
+    assert not g16.verify(proof2, vk, [h])

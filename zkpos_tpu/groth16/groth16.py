@@ -1,0 +1,305 @@
+"""Groth16 over BN254 — Setup / Prove / Verify.
+
+Replaces gnark's backend/groth16 (reference keygen main.go:42,
+prover.go:269-276, verifier main.go:284).  Scalar-side math (QAP evaluation,
+H(X) via NTT) runs on the host; the group-side heavy lifting (per-wire
+exponent tables in Setup, the 4 proof MSMs in Prove) runs on TPU via
+ops.ec.  Verification is three pairings on the host oracle (≈ the
+reference's ~3ms check, docs/...dummy_user_attack.md:201).
+
+Proof system (standard Groth16):
+  A = α + Σ z_i·A_i(τ) + rδ            (G1)
+  B = β + Σ z_i·B_i(τ) + sδ            (G2; B1 in G1 for C)
+  C = Σ_{private} z_i·K_i + H(τ)·Z(τ)/δ + sA + rB1 − rsδ   (G1)
+  check: e(A, B) = e(α,β) · e(Σ_{public} z_i·Kγ_i, γ) · e(C, δ)
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..crypto import bn254 as bn
+from ..crypto.bn254 import R as MOD
+from ..circuit.cs import ConstraintSystem
+from ..ops import ec
+from .ntt import batch_inverse, ntt, root_of_unity
+
+
+@dataclass
+class ProvingKey:
+    alpha_g1: tuple
+    beta_g1: tuple
+    delta_g1: tuple
+    a_g1: List[Optional[tuple]]          # [A_i(τ)]₁ per wire
+    b1_g1: List[Optional[tuple]]         # [B_i(τ)]₁ per wire
+    k_g1: List[Optional[tuple]]          # [(βA_i+αB_i+C_i)/δ]₁ private wires
+    z_g1: List[Optional[tuple]]          # [τ^i·Z(τ)/δ]₁ i < domain-1
+    beta_g2: tuple
+    delta_g2: tuple
+    b_g2: List[Optional[tuple]]          # [B_i(τ)]₂ per wire
+    num_public: int = 1
+    domain_size: int = 0
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    k_gamma_g1: List[Optional[tuple]]    # [(βA_i+αB_i+C_i)/γ]₁ public wires
+    num_public: int = 1
+
+
+@dataclass
+class Proof:
+    ar: tuple
+    bs: tuple       # G2
+    krs: tuple
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def _qap_evals(cs: ConstraintSystem, tau: int) -> Tuple[list, list, list, int, int]:
+    """A_i(τ), B_i(τ), C_i(τ) per wire via Lagrange basis over the radix-2
+    domain: L_c(τ) = Z(τ)·ω^c / (n·(τ − ω^c))."""
+    n_cons = len(cs.constraints)
+    d = _next_pow2(max(n_cons, 2))
+    log_d = d.bit_length() - 1
+    w = root_of_unity(log_d)
+    # powers of omega
+    wpow = [1] * d
+    for i in range(1, d):
+        wpow[i] = wpow[i - 1] * w % MOD
+    z_tau = (pow(tau, d, MOD) - 1) % MOD
+    if z_tau == 0:
+        raise ValueError("tau in domain; resample")
+    denoms = [(tau - wc) % MOD for wc in wpow]
+    inv_denoms = batch_inverse(denoms)
+    n_inv = pow(d, MOD - 2, MOD)
+    lag = [z_tau * wpow[c] % MOD * inv_denoms[c] % MOD * n_inv % MOD
+           for c in range(d)]
+
+    nv = cs.num_vars
+    A = [0] * nv
+    B = [0] * nv
+    Cv = [0] * nv
+    for c, (a_t, b_t, c_t) in enumerate(cs.constraints):
+        lc = lag[c]
+        for var, coeff in a_t:
+            A[var] = (A[var] + coeff * lc) % MOD
+        for var, coeff in b_t:
+            B[var] = (B[var] + coeff * lc) % MOD
+        for var, coeff in c_t:
+            Cv[var] = (Cv[var] + coeff * lc) % MOD
+    return A, B, Cv, z_tau, d
+
+
+def _fixed_base_g1(scalars: List[int]) -> List[Optional[tuple]]:
+    """[x·G₁ for x in scalars] batched on device."""
+    return _fixed_base(scalars, ec.g1_points_to_device([bn.G1_GEN]),
+                       ec.F1, ec._smul_all_g1)
+
+
+def _fixed_base_g2(scalars: List[int]) -> List[Optional[tuple]]:
+    return _fixed_base(scalars, ec.g2_points_to_device([bn.G2_GEN]),
+                       ec.F2, ec._smul_all_g2)
+
+
+def _fixed_base(scalars, gen_dev, F, kernel):
+    import numpy as np
+    import jax.numpy as jnp
+    n = len(scalars)
+    out = []
+    W = ec.MSM_CHUNK
+    base = tuple(jnp.repeat(a, W, axis=-1) for a in gen_dev)
+    for start in range(0, n, W):
+        chunk = [s % MOD for s in scalars[start:start + W]]
+        pad = W - len(chunk)
+        chunk += [0] * pad
+        sc = jnp.asarray(ec.fr_mod.ints_to_limbs(chunk))
+        prods = kernel(*base, sc)
+        out.extend(_points_from_device_batch(F, prods)[:W - pad])
+    return out
+
+
+def _points_from_device_batch(F, prods) -> List[Optional[tuple]]:
+    """Batch-convert Jacobian device points to affine python points."""
+    import numpy as np
+    if F is ec.F1:
+        xs = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(prods[0])))
+        ys = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(prods[1])))
+        zs = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(prods[2])))
+        zinv = batch_inverse_mod_p(zs)
+        out = []
+        for x, y, z, zi in zip(xs, ys, zs, zinv):
+            if z == 0:
+                out.append(None)
+            else:
+                out.append(((x * zi * zi) % bn.P, (y * zi * zi * zi) % bn.P))
+        return out
+    else:
+        comp = []
+        for a in prods:
+            c0 = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(a[0])))
+            c1 = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(a[1])))
+            comp.append([bn.Fp2(x, y) for x, y in zip(c0, c1)])
+        X, Y, Z = comp
+        out = []
+        for x, y, z in zip(X, Y, Z):
+            if z.is_zero():
+                out.append(None)
+            else:
+                zi = z.inv()
+                zi2 = zi * zi
+                out.append((x * zi2, y * zi2 * zi))
+        return out
+
+
+def batch_inverse_mod_p(vals: List[int]) -> List[int]:
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * (v if v else 1) % bn.P
+    inv_total = pow(prefix[n], bn.P - 2, bn.P)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        if vals[i]:
+            out[i] = prefix[i] * inv_total % bn.P
+            inv_total = inv_total * vals[i] % bn.P
+    return out
+
+
+def setup(cs: ConstraintSystem, rng=None) -> Tuple[ProvingKey, VerifyingKey]:
+    """groth16.Setup (keygen main.go:42): toxic waste sampling + exponent
+    tables.  Group exponentiations are device-batched fixed-base muls."""
+    rand = rng or (lambda: secrets.randbelow(MOD - 1) + 1)
+    alpha, beta, gamma, delta, tau = (rand() for _ in range(5))
+    A, B, Cv, z_tau, d = _qap_evals(cs, tau)
+    nv = cs.num_vars
+    npub = cs.num_public
+    gamma_inv = pow(gamma, MOD - 2, MOD)
+    delta_inv = pow(delta, MOD - 2, MOD)
+
+    k = [(beta * A[i] + alpha * B[i] + Cv[i]) % MOD for i in range(nv)]
+    k_gamma = [k[i] * gamma_inv % MOD for i in range(npub)]
+    k_delta = [k[i] * delta_inv % MOD for i in range(npub, nv)]
+    # [τ^i Z(τ)/δ]
+    z_scalars = []
+    t_pow = 1
+    for _ in range(d - 1):
+        z_scalars.append(t_pow * z_tau % MOD * delta_inv % MOD)
+        t_pow = t_pow * tau % MOD
+
+    a_g1 = _fixed_base_g1(A)
+    b1_g1 = _fixed_base_g1(B)
+    k_g1 = _fixed_base_g1(k_delta)
+    z_g1 = _fixed_base_g1(z_scalars)
+    k_gamma_g1 = _fixed_base_g1(k_gamma)
+    b_g2 = _fixed_base_g2(B)
+
+    pk = ProvingKey(
+        alpha_g1=bn.g1_mul(bn.G1_GEN, alpha),
+        beta_g1=bn.g1_mul(bn.G1_GEN, beta),
+        delta_g1=bn.g1_mul(bn.G1_GEN, delta),
+        a_g1=a_g1, b1_g1=b1_g1, k_g1=k_g1, z_g1=z_g1,
+        beta_g2=bn.g2_mul(bn.G2_GEN, beta),
+        delta_g2=bn.g2_mul(bn.G2_GEN, delta),
+        b_g2=b_g2, num_public=npub, domain_size=d)
+    vk = VerifyingKey(
+        alpha_g1=pk.alpha_g1,
+        beta_g2=pk.beta_g2,
+        gamma_g2=bn.g2_mul(bn.G2_GEN, gamma),
+        delta_g2=pk.delta_g2,
+        k_gamma_g1=k_gamma_g1, num_public=npub)
+    return pk, vk
+
+
+def _compute_h(cs: ConstraintSystem, z: List[int], d: int) -> List[int]:
+    """H(X) coefficients of (A·B − C)/Z over a coset."""
+    n_cons = len(cs.constraints)
+    av = [0] * d
+    bv = [0] * d
+    cv = [0] * d
+    for c, (a_t, b_t, c_t) in enumerate(cs.constraints):
+        av[c] = sum(co * z[v] for v, co in a_t) % MOD
+        bv[c] = sum(co * z[v] for v, co in b_t) % MOD
+        cv[c] = sum(co * z[v] for v, co in c_t) % MOD
+    a_coef = ntt(av, inverse=True)
+    b_coef = ntt(bv, inverse=True)
+    c_coef = ntt(cv, inverse=True)
+    # evaluate on coset g·H
+    g = 5
+    gp = [1] * d
+    for i in range(1, d):
+        gp[i] = gp[i - 1] * g % MOD
+    a_cos = ntt([a_coef[i] * gp[i] % MOD for i in range(d)])
+    b_cos = ntt([b_coef[i] * gp[i] % MOD for i in range(d)])
+    c_cos = ntt([c_coef[i] * gp[i] % MOD for i in range(d)])
+    z_cos_inv = pow((pow(g, d, MOD) - 1) % MOD, MOD - 2, MOD)  # Z is g^d-1 on coset
+    h_cos = [(a_cos[i] * b_cos[i] - c_cos[i]) % MOD * z_cos_inv % MOD
+             for i in range(d)]
+    h_coef = ntt(h_cos, inverse=True)
+    g_inv = pow(g, MOD - 2, MOD)
+    gip = [1] * d
+    for i in range(1, d):
+        gip[i] = gip[i - 1] * g_inv % MOD
+    h = [h_coef[i] * gip[i] % MOD for i in range(d)]
+    if h[d - 1] != 0:
+        raise ValueError("H degree too large — unsatisfied constraints?")
+    return h[:d - 1]
+
+
+def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
+    """groth16.Prove (prover.go:269): witness from the solved system, H via
+    NTT, four MSMs on device."""
+    if not cs.solve:
+        raise ValueError("prove requires a solved constraint system")
+    z = cs.witness_vector()
+    rand = rng or (lambda: secrets.randbelow(MOD))
+    r, s = rand(), rand()
+
+    h = _compute_h(cs, z, pk.domain_size)
+
+    sum_a = ec.msm_g1(pk.a_g1, z)
+    sum_b1 = ec.msm_g1(pk.b1_g1, z)
+    sum_b2 = ec.msm_g2(pk.b_g2, z)
+    krs_priv = ec.msm_g1(pk.k_g1, z[pk.num_public:])
+    krs_h = ec.msm_g1(pk.z_g1, h)
+
+    ar = bn.g1_add(bn.g1_add(pk.alpha_g1, sum_a),
+                   bn.g1_mul(pk.delta_g1, r))
+    bs = bn.g2_add(bn.g2_add(pk.beta_g2, sum_b2),
+                   bn.g2_mul(pk.delta_g2, s))
+    b1 = bn.g1_add(bn.g1_add(pk.beta_g1, sum_b1),
+                   bn.g1_mul(pk.delta_g1, s))
+    krs = bn.g1_add(krs_priv, krs_h)
+    krs = bn.g1_add(krs, bn.g1_mul(ar, s))
+    krs = bn.g1_add(krs, bn.g1_mul(b1, r))
+    krs = bn.g1_add(krs, bn.g1_neg(bn.g1_mul(pk.delta_g1, r * s % MOD)))
+    return Proof(ar=ar, bs=bs, krs=krs)
+
+
+def verify(proof: Proof, vk: VerifyingKey, public_inputs: List[int]) -> bool:
+    """groth16.Verify (verifier main.go:284): 3-pairing check on the host
+    (~ms; matches reference scale)."""
+    z_pub = [1] + [v % MOD for v in public_inputs]
+    if len(z_pub) != vk.num_public:
+        return False
+    acc = None
+    for p, s in zip(vk.k_gamma_g1, z_pub):
+        acc = bn.g1_add(acc, bn.g1_mul(p, s))
+    lhs = bn.multi_pairing([
+        (proof.ar, proof.bs),
+        (bn.g1_neg(acc), vk.gamma_g2),
+        (bn.g1_neg(proof.krs), vk.delta_g2),
+        (bn.g1_neg(vk.alpha_g1), vk.beta_g2),
+    ])
+    return lhs == bn.Fp12.ONE

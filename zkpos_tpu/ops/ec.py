@@ -317,3 +317,10 @@ def msm_g1(points, scalars):
 def msm_g2(points, scalars):
     return _msm_generic(points, scalars, g2_points_to_device,
                         g2_point_from_device, _msm_chunk_g2, _add_one_g2, F2)
+
+
+# all-products kernels (no reduction) — used for fixed-base exponent tables
+_smul_all_g1 = jax.jit(
+    lambda xs, ys, zs, sc: batched_scalar_mul(F1, (xs, ys, zs), sc))
+_smul_all_g2 = jax.jit(
+    lambda xs, ys, zs, sc: batched_scalar_mul(F2, (xs, ys, zs), sc))

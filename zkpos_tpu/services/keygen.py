@@ -1,0 +1,80 @@
+"""keygen service — parity with reference src/keygen/main.go.
+
+For each (assetTier, batchCount) tier: build the empty circuit, compile to
+R1CS, run Groth16 Setup on device, and persist
+`<prefix><assets>_<batch>.pk/.vk/.r1cs` artifacts (main.go:27-66).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import time
+
+from ..circuit import batch_create_user as bcu
+from ..circuit.cs import ConstraintSystem
+from ..groth16 import groth16 as g16
+from ..utils import constants as C
+
+
+def key_file_names(prefix: str, assets: int, batch: int):
+    base = f"{prefix}{assets}_{batch}"
+    return base + ".pk", base + ".vk", base + ".r1cs"
+
+
+def compile_tier(assets: int, batch: int) -> ConstraintSystem:
+    """frontend.Compile equivalent (keygen main.go:30)."""
+    shape = bcu.new_empty_assignment(assets, C.ASSET_COUNTS, batch)
+    cs = ConstraintSystem(solve=False)
+    bcu.define(cs, shape)
+    return cs
+
+
+def save_artifact(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with gzip.open(path, "wb", compresslevel=1) as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_artifact(path: str):
+    with gzip.open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def run(prefix: str, tiers=None, force: bool = False) -> None:
+    tiers = tiers or C.get_tiers()
+    for assets in sorted(tiers):
+        batch = tiers[assets]
+        pk_f, vk_f, r1cs_f = key_file_names(prefix, assets, batch)
+        if not force and all(os.path.exists(f) for f in (pk_f, vk_f, r1cs_f)):
+            print(f"keygen: artifacts for tier {assets}:{batch} exist, skip")
+            continue
+        t0 = time.time()
+        cs = compile_tier(assets, batch)
+        print(f"keygen: tier {assets}:{batch} compiled "
+              f"{len(cs.constraints)} constraints in {time.time()-t0:.1f}s")
+        t0 = time.time()
+        pk, vk = g16.setup(cs)
+        print(f"keygen: setup done in {time.time()-t0:.1f}s")
+        save_artifact(r1cs_f, {"num_vars": cs.num_vars,
+                               "num_public": cs.num_public,
+                               "constraints": cs.constraints})
+        save_artifact(pk_f, pk)
+        save_artifact(vk_f, vk)
+        print(f"keygen: wrote {pk_f}, {vk_f}, {r1cs_f}")
+
+
+def main(argv=None):
+    import argparse
+    from .config import load_config
+    ap = argparse.ArgumentParser("zkpos-keygen")
+    ap.add_argument("--config", default="config/config.json")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config)
+    run(cfg.zk_key_name, force=args.force)
+
+
+if __name__ == "__main__":
+    main()

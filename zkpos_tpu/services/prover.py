@@ -1,0 +1,145 @@
+"""prover service — parity with reference src/prover/prover/prover.go.
+
+Loop: BRPOP height from the task queue (:74) -> transactional
+Published->Received claim (witness_model.go:129-152) -> decode witness ->
+SetBatchCreateUserCircuitWitness -> lazily load per-tier pk/vk/r1cs
+(LoadSnarkParamsOnce, :285-367) -> solve + Groth16 prove on device ->
+immediate self-verify (:276) -> idempotency check -> insert proof row, mark
+Finished.  `--rerun` sweeps Received then Published rows directly from the
+DB (crash recovery, :107-137).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import pickle
+import time
+from typing import Dict, Optional
+
+from ..circuit import batch_create_user as bcu
+from ..circuit.cs import ConstraintSystem
+from ..db.codec import decode_batch_witness
+from ..db.queue import TaskQueue
+from ..db.storage import (Database, ProofModel, ProofRow, STATUS_FINISHED,
+                          STATUS_PUBLISHED, STATUS_RECEIVED, WitnessModel)
+from ..groth16 import groth16 as g16
+from ..groth16.serialize import proof_to_base64
+from ..utils import constants as C
+from ..utils.types import is_asset_empty
+from .keygen import key_file_names, load_artifact
+
+
+class Prover:
+    def __init__(self, cfg, tiers=None):
+        self.cfg = cfg
+        self.tiers = tiers or C.get_tiers()
+        self.db = Database(cfg.db_path)
+        self.witness_model = WitnessModel(self.db, cfg.db_suffix)
+        self.proof_model = ProofModel(self.db, cfg.db_suffix)
+        self.proof_model.create_table()
+        self.queue = TaskQueue(self.db, cfg.db_suffix)
+        self._params: Dict[int, tuple] = {}   # assets -> (cs_meta, pk, vk)
+
+    # -- snark params ---------------------------------------------------------
+
+    def load_snark_params_once(self, assets: int):
+        """prover.go:285-367: load pk/vk/r1cs for a tier, with tier switch."""
+        if assets in self._params:
+            return self._params[assets]
+        batch = self.tiers[assets]
+        pk_f, vk_f, r1cs_f = key_file_names(self.cfg.zk_key_name, assets,
+                                            batch)
+        t0 = time.time()
+        r1cs = load_artifact(r1cs_f)
+        pk = load_artifact(pk_f)
+        vk = load_artifact(vk_f)
+        print(f"prover: loaded snark params for tier {assets}:{batch} "
+              f"in {time.time()-t0:.1f}s")
+        self._params[assets] = (r1cs, pk, vk)
+        return self._params[assets]
+
+    # -- proving --------------------------------------------------------------
+
+    def _assets_tier_of(self, wit) -> int:
+        counts = sum(0 if is_asset_empty(a) else 1
+                     for a in wit.create_user_ops[0].assets)
+        for t in sorted(self.tiers):
+            if counts <= t:
+                return t
+        raise ValueError("no tier fits")
+
+    def generate_and_verify_proof(self, wit, batch_number: int):
+        """prover.go:250-283."""
+        assets = self._assets_tier_of(wit)
+        circuit_w = bcu.set_batch_create_user_circuit_witness(wit)
+        r1cs_meta, pk, vk = self.load_snark_params_once(assets)
+        cs = ConstraintSystem(solve=True)
+        bcu.define(cs, circuit_w)
+        if len(cs.constraints) != len(r1cs_meta["constraints"]):
+            raise ValueError("constraint count mismatch vs keygen artifact")
+        t0 = time.time()
+        proof = g16.prove(cs, pk)
+        print(f"prover: batch {batch_number} proved in {time.time()-t0:.1f}s")
+        public = [cs.values[i] for i in range(1, cs.num_public)]
+        if not g16.verify(proof, vk, public):
+            raise ValueError("self-verify failed")
+        return proof, assets, public
+
+    def handle_height(self, height: int,
+                      from_status: int = STATUS_PUBLISHED) -> bool:
+        row = self.witness_model.claim_witness_by_height(height, from_status)
+        if row is None:
+            return False
+        wit = decode_batch_witness(row.witness_data)
+        # idempotency (prover.go:210-225)
+        try:
+            self.proof_model.get_proof_by_batch_number(height)
+            self.witness_model.update_status(height, STATUS_FINISHED)
+            return True
+        except Exception:
+            pass
+        proof, assets, public = self.generate_and_verify_proof(wit, height)
+        self.proof_model.create_proof(ProofRow(
+            proof_info=proof_to_base64(proof),
+            cex_asset_list_commitments=json.dumps([
+                base64.b64encode(wit.before_cex_assets_commitment).decode(),
+                base64.b64encode(wit.after_cex_assets_commitment).decode()]),
+            account_tree_roots=json.dumps([
+                base64.b64encode(wit.account_tree_root).decode()]),
+            batch_commitment=base64.b64encode(
+                wit.batch_commitment).decode(),
+            account_min_index=wit.min_account_index,
+            account_max_index=wit.max_account_index,
+            assets_count=assets,
+            batch_number=height))
+        self.witness_model.update_status(height, STATUS_FINISHED)
+        return True
+
+    def run(self, rerun: bool = False, queue_timeout: float = 10.0):
+        """prover.go:139-248 (normal) / :107-137 (rerun)."""
+        if rerun:
+            for status in (STATUS_RECEIVED, STATUS_PUBLISHED):
+                for height in self.witness_model.rows_by_status(status):
+                    self.handle_height(height, from_status=status)
+            return
+        while True:
+            v = self.queue.brpop(queue_timeout)
+            if v is None:
+                print("prover: queue empty, exit")
+                return
+            self.handle_height(int(v))
+
+
+def main(argv=None):
+    import argparse
+    from .config import load_config
+    ap = argparse.ArgumentParser("zkpos-prover")
+    ap.add_argument("--config", default="config/config.json")
+    ap.add_argument("--rerun", action="store_true")
+    args = ap.parse_args(argv)
+    Prover(load_config(args.config)).run(rerun=args.rerun)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""witness service — parity with reference src/witness (main.go + witness.go
++ userproof.go).
+
+Pipeline: parse CSVs -> pad/index accounts -> device-built account tree ->
+per-batch witness rows (resume by height with CEX-state replay,
+witness.go:88-113) -> userproof rows for every account (resume by max
+account_index, userproof.go:48-64).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+from typing import Dict, List
+
+from ..crypto.bn254 import fr_from_bytes
+from ..db.codec import decode_batch_witness, encode_batch_witness
+from ..db.storage import (Database, DbErrNotFound, ProofModel,
+                          STATUS_PUBLISHED, BatchWitnessRow, UserProofModel,
+                          WitnessModel)
+from ..merkle.tree import AccountTree
+from ..utils import constants as C
+from ..utils import csv_ingest
+from ..utils.commitments import account_info_to_hash
+from ..utils.types import AccountInfo, CexAssetInfo
+from ..witness import core as wcore
+
+
+def recover_after_cex_assets(wit) -> List[CexAssetInfo]:
+    """RecoverAfterCexAssets (utils.go:752-777): replay ops onto the
+    decoded BeforeCexAssets and sanity-check the after-commitment."""
+    from ..utils.commitments import cex_asset_elements
+    from ..crypto.poseidon_ref import poseidon
+    from ..crypto.bn254 import fr_to_bytes
+    cex = wit.before_cex_assets
+    for op in wit.create_user_ops:
+        for a in op.assets:
+            cx = cex[a.index]
+            cx.total_equity += a.equity
+            cx.total_debt += a.debt
+            cx.loan_collateral += a.loan
+            cx.margin_collateral += a.margin
+            cx.portfolio_margin_collateral += a.portfolio_margin
+    elements = []
+    for a in cex:
+        elements += cex_asset_elements(a)
+    if fr_to_bytes(poseidon(elements)) != wit.after_cex_assets_commitment:
+        raise ValueError("after cex commitment verify failed")
+    return cex
+
+
+class WitnessService:
+    def __init__(self, cfg, tiers=None):
+        self.cfg = cfg
+        self.tiers = tiers or C.get_tiers()
+        self.db = Database(cfg.db_path)
+        self.witness_model = WitnessModel(self.db, cfg.db_suffix)
+        self.userproof_model = UserProofModel(self.db, cfg.db_suffix)
+
+    # -- data prep ------------------------------------------------------------
+
+    def load_accounts(self):
+        accounts, cex_assets, invalid = csv_ingest.parse_user_data_set(
+            self.cfg.user_data_file)
+        if invalid:
+            raise csv_ingest.InvalidAccountData(
+                f"{invalid} invalid accounts")
+        return accounts, cex_assets
+
+    def prepare(self, accounts_by_tier, cex_assets):
+        self.accounts, self.capacity = wcore.prepare_accounts(
+            accounts_by_tier, self.tiers)
+        self.cex_assets = cex_assets
+        t0 = time.time()
+        self.tree = wcore.build_account_tree(self.accounts, self.capacity)
+        print(f"witness: account tree built over {self.capacity} leaves "
+              f"in {time.time()-t0:.1f}s, root "
+              f"{self.tree.root().hex()}")
+
+    # -- witness generation ---------------------------------------------------
+
+    def run_witness(self, batch_flush: int = 25) -> int:
+        """Generate + persist all batch witness rows.  Returns count."""
+        self.witness_model.create_table()
+        try:
+            latest = self.witness_model.get_latest_batch_witness()
+            height = latest.height
+            wit = decode_batch_witness(latest.witness_data)
+            self.cex_assets = recover_after_cex_assets(wit)
+            print(f"witness: resuming after height {height}")
+        except DbErrNotFound:
+            height = -1
+        total = sum((len(self.accounts[k]) // self.tiers[k])
+                    for k in self.accounts)
+        if height == total - 1:
+            print("witness: already generated all witnesses")
+            return 0
+        pending: List[BatchWitnessRow] = []
+        written = 0
+        for h, wit in wcore.generate_batch_witnesses(
+                self.tree, self.accounts, self.cex_assets, self.tiers,
+                start_height=height):
+            pending.append(BatchWitnessRow(
+                height=h, witness_data=encode_batch_witness(wit),
+                status=STATUS_PUBLISHED))
+            if len(pending) >= batch_flush:
+                self.witness_model.create_batch_witness(pending)
+                written += len(pending)
+                pending = []
+        if pending:
+            self.witness_model.create_batch_witness(pending)
+            written += len(pending)
+        print(f"witness: wrote {written} batch witnesses")
+        return written
+
+    # -- user proofs ----------------------------------------------------------
+
+    def run_userproof(self, flush: int = 500) -> int:
+        """Generate + persist per-account inclusion proofs
+        (userproof.go:38-175)."""
+        from ..db.storage import UserProofRow
+        self.userproof_model.create_table()
+        try:
+            start = self.userproof_model.max_account_index() + 1
+        except DbErrNotFound:
+            start = 0
+        all_accounts: Dict[int, AccountInfo] = {}
+        for k in self.accounts:
+            for acc in self.accounts[k]:
+                all_accounts[acc.account_index] = acc
+        rows = []
+        written = 0
+        for idx in range(start, self.capacity):
+            acc = all_accounts[idx]
+            leaf = account_info_to_hash(acc)
+            proof = self.tree.get_proof(idx)
+            config = {
+                "AccountIndex": idx,
+                "AccountIdHash": acc.account_id.hex(),
+                "TotalEquity": acc.total_equity,
+                "TotalDebt": acc.total_debt,
+                "TotalCollateral": acc.total_collateral,
+                "Assets": [{
+                    "Index": a.index, "Equity": a.equity, "Debt": a.debt,
+                    "Loan": a.loan, "Margin": a.margin,
+                    "PortfolioMargin": a.portfolio_margin,
+                } for a in acc.assets if not _empty(a)],
+                "Root": self.tree.root().hex(),
+                "Proof": [base64.b64encode(p).decode() for p in proof],
+            }
+            rows.append(UserProofRow(
+                account_index=idx,
+                account_id=acc.account_id.hex(),
+                account_leaf=base64.b64encode(leaf).decode(),
+                total_equity=str(acc.total_equity),
+                total_debt=str(acc.total_debt),
+                total_collateral=str(acc.total_collateral),
+                config=json.dumps(config)))
+            if len(rows) >= flush:
+                self.userproof_model.create_user_proofs(rows)
+                written += len(rows)
+                rows = []
+        if rows:
+            self.userproof_model.create_user_proofs(rows)
+            written += len(rows)
+        self.userproof_model.add_account_id_index()
+        print(f"witness: wrote {written} user proofs")
+        return written
+
+    def run(self):
+        accounts, cex_assets = self.load_accounts()
+        self.prepare(accounts, cex_assets)
+        self.run_witness()
+        self.run_userproof()
+
+
+def _empty(a) -> bool:
+    from ..utils.types import is_asset_empty
+    return is_asset_empty(a)
+
+
+def main(argv=None):
+    import argparse
+    from .config import load_config
+    ap = argparse.ArgumentParser("zkpos-witness")
+    ap.add_argument("--config", default="config/config.json")
+    ap.add_argument("--witness_done_marker", default="")
+    args = ap.parse_args(argv)
+    svc = WitnessService(load_config(args.config))
+    svc.run()
+    if args.witness_done_marker:
+        open(args.witness_done_marker, "w").close()
+
+
+if __name__ == "__main__":
+    main()
