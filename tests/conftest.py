@@ -2,7 +2,6 @@
 tests work without TPU hardware (the driver benches on the real chip)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,5 +9,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 import jax
+# NOTE: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
+# present; the config knob is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

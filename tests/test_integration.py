@@ -1,0 +1,82 @@
+"""Full-pipeline integration test at test size — the analog of reference
+scripts/integration_test.sh: keygen -> witness -> push tasks -> prover ->
+export csv -> batch verify -> user proof spot checks.
+
+Marked slow: includes a real Groth16 setup + proofs for every batch.
+"""
+import json
+import os
+
+import pytest
+
+from zkpos_tpu.utils import constants as C
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _sizes():
+    saved = (C.ASSET_COUNTS, C.TIER_COUNT, C.ACCOUNT_TREE_DEPTH,
+             os.environ.get("ZKPOR_TEST_TIERS"))
+    C.configure(asset_counts=4, tier_count=2, tree_depth=8)
+    os.environ["ZKPOR_TEST_TIERS"] = "3:2"
+    yield
+    C.configure(*saved[:3])
+    if saved[3] is None:
+        os.environ.pop("ZKPOR_TEST_TIERS", None)
+    else:
+        os.environ["ZKPOR_TEST_TIERS"] = saved[3]
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path_factory):
+    from zkpos_tpu.services.config import ServiceConfig
+    from zkpos_tpu.services import keygen as kg
+    from zkpos_tpu.services.witness import WitnessService
+    from zkpos_tpu.services.prover import Prover
+    from zkpos_tpu.services.dbtool import DbTool
+    from zkpos_tpu.services.verifier import (load_proof_csv, verify_user,
+                                             verify_batch_proofs)
+    from tests.test_batch_circuit import make_accounts, make_cex_assets
+
+    base = tmp_path_factory.mktemp("pipeline")
+    cfg = ServiceConfig(db_path=str(base / "zkpos.db"),
+                        zk_key_name=str(base / "keys" / "zkpor"))
+
+    # 1. keygen
+    kg.run(cfg.zk_key_name)
+    assert os.path.exists(str(base / "keys" / "zkpor3_2.pk"))
+
+    # 2. witness service over in-memory accounts
+    cex = make_cex_assets()
+    accounts = make_accounts(cex)
+    svc = WitnessService(cfg)
+    svc.prepare({3: accounts}, cex)
+    n_wit = svc.run_witness()
+    n_up = svc.run_userproof()
+    assert n_wit == 2 and n_up == 4
+
+    # 3. push tasks + prover drains the queue
+    tool = DbTool(cfg)
+    assert tool.push_task_to_redis() == 2
+    Prover(cfg).run(queue_timeout=1.0)
+    counts = tool.check_prover_status()
+    assert counts == {"published": 0, "received": 0, "finished": 2}
+
+    # 4. export + batch verify (incl. chain checks)
+    csv_path = str(base / "proofs.csv")
+    assert tool.export_proof_csv(csv_path) == 2
+    rows = load_proof_csv(csv_path)
+    final_cex = tool.query_cex_assets()
+    from zkpos_tpu.services.verifier import _cex_from_json
+    verify_batch_proofs(rows, _cex_from_json(final_cex), cfg.zk_key_name)
+
+    # 5. user proofs verify; tampering fails
+    for idx in range(4):
+        config = tool.query_account_data(idx)
+        assert verify_user(config)
+    bad = tool.query_account_data(0)
+    bad["TotalDebt"] += 1
+    assert not verify_user(bad)
+
+    # 6. rerun is an idempotent no-op
+    Prover(cfg).run(rerun=True)
+    assert tool.check_prover_status()["finished"] == 2

@@ -70,31 +70,30 @@ def _mix(state, m_j, t):
 def permute(state, t: int):
     """Poseidon permutation, Montgomery domain.  state: (16, t, B).
 
-    One lax.scan over all R_F + R_P rounds (compact compile graph); each
-    round is ark -> sbox (full/partial via lax.cond) -> mix."""
+    Three lax.scans (first full rounds, partial rounds, last full rounds)
+    with static cond-free bodies — compact graphs AND no wasted sbox work
+    in the 56-68 partial rounds.  (A scan+lax.cond formulation miscompiled
+    on the experimental axon TPU backend; static bodies are also what a
+    Pallas port wants.)"""
     c_np, m_np, r_p = _mont_params(t)
     c_j = jnp.asarray(c_np)                      # (rounds, 16, t)
     m_j = jnp.asarray(m_np)                      # (16, t, t)
     half = pp.R_FULL // 2
-    rounds = pp.R_FULL + r_p
-    is_full = jnp.asarray(
-        [r < half or r >= half + r_p for r in range(rounds)])
 
-    def round_body(s, xs):
-        cr, full = xs
+    def full_body(s, cr):
         s = fr.add(s, jnp.broadcast_to(cr[:, :, None], s.shape))
-
-        def full_sbox(x):
-            return _sbox(x)
-
-        def partial_sbox(x):
-            x0 = _sbox(x[:, 0:1, :])
-            return jnp.concatenate([x0, x[:, 1:, :]], axis=1)
-
-        s = jax.lax.cond(full, full_sbox, partial_sbox, s)
+        s = _sbox(s)
         return _mix(s, m_j, t), None
 
-    state, _ = jax.lax.scan(round_body, state, (c_j, is_full))
+    def partial_body(s, cr):
+        s = fr.add(s, jnp.broadcast_to(cr[:, :, None], s.shape))
+        s0 = _sbox(s[:, 0:1, :])
+        s = jnp.concatenate([s0, s[:, 1:, :]], axis=1)
+        return _mix(s, m_j, t), None
+
+    state, _ = jax.lax.scan(full_body, state, c_j[:half])
+    state, _ = jax.lax.scan(partial_body, state, c_j[half:half + r_p])
+    state, _ = jax.lax.scan(full_body, state, c_j[half + r_p:])
     return state
 
 

@@ -9,8 +9,11 @@ device mesh:
   * the top log2(#devices) levels cross shard boundaries: local subtree
     roots are all-gathered over ICI and folded (replicated) — the batched
     analog of merkletree.go's worker partitioning;
-  * MSM chunks are data-parallel with a final cross-device fold of Jacobian
-    partial sums (all_gather + local point_add chain).
+  * MSM chunks are data-parallel with a cross-device fold of Jacobian
+    partial sums.
+
+All folds use constant-shape roll-butterflies (ONE hash/point-add body in a
+fori_loop) so the traced/compiled graphs stay small.
 
 Tested on a virtual 8-device CPU mesh (tests/conftest.py); the same code
 runs unchanged on a real TPU slice.
@@ -23,12 +26,12 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops import ec
 from ..ops import fr
-from ..ops.poseidon import hash2_mont, permute
+from ..ops.poseidon import hash2_mont
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -37,66 +40,78 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def _local_subtree_root(leaves, levels: int):
-    """Fold a (16, L) Montgomery leaf block to its subtree root, L = 2^levels."""
-    cur = leaves
-    for _ in range(levels):
-        cur = hash2_mont(cur[:, 0::2], cur[:, 1::2])
-    return cur  # (16, 1)
+def merkle_fold(block):
+    """Fold a (16, L) Montgomery leaf block to its subtree root (16, 1).
+
+    Constant-shape stride fold: at step k the value at lane i*2^(k+1)
+    becomes H(node[i*2^(k+1)], node[i*2^(k+1) + 2^k]); other lanes carry
+    garbage and are never read.  ONE hash body regardless of depth."""
+    L = block.shape[-1]
+    levels = int(np.log2(L))
+    assert (1 << levels) == L
+
+    def body(k, cur):
+        partner = jnp.roll(cur, -(1 << k), axis=-1)
+        return hash2_mont(cur, partner)
+
+    out = jax.lax.fori_loop(0, levels, body, block)
+    return out[:, 0:1]
+
+
+def point_fold(points):
+    """Sum a (…, D) batch of Jacobian points into lane 0 (roll butterfly)."""
+    D = points[0].shape[-1]
+    levels = int(np.log2(D))
+    assert (1 << levels) == D
+
+    def body(k, pts):
+        rolled = tuple(jnp.roll(a, -(1 << k), axis=-1) for a in pts)
+        return ec.point_add(ec.F1, pts, rolled)
+
+    out = jax.lax.fori_loop(0, levels, body, points)
+    return tuple(a[..., 0:1] for a in out)
 
 
 def sharded_tree_root(mesh: Mesh, leaves_mont, axis: str = "shard"):
-    """Compute the Merkle root of a (16, N) Montgomery leaf array sharded
-    across the mesh.  N and N/#devices must be powers of two."""
+    """Merkle root of a (16, N) Montgomery leaf array sharded across the
+    mesh.  N and N/#devices must be powers of two."""
     n_dev = mesh.devices.size
-    n = leaves_mont.shape[1]
-    local = n // n_dev
-    local_levels = int(np.log2(local))
-    top_levels = int(np.log2(n_dev))
-    assert (1 << local_levels) == local and (1 << top_levels) == n_dev
 
     @partial(shard_map, mesh=mesh, in_specs=P(None, axis),
-             out_specs=P(None, None))
+             out_specs=P(None, None), check_rep=False)
     def step(block):
-        root = _local_subtree_root(block, local_levels)      # (16, 1)
+        root = merkle_fold(block)                            # (16, 1)
         roots = jax.lax.all_gather(root, axis, axis=2)       # (16, 1, D)
         roots = roots.reshape(fr.NLIMBS, n_dev)
-        cur = roots
-        for _ in range(top_levels):
-            cur = hash2_mont(cur[:, 0::2], cur[:, 1::2])
-        return cur
+        return merkle_fold(roots)
 
     return step(leaves_mont)
 
 
-def sharded_msm_g1(mesh: Mesh, xs, ys, zs, scalars, axis: str = "shard"):
-    """Data-parallel G1 MSM: each device reduces its shard of points, the
+def sharded_msm_g1(mesh: Mesh, xs, ys, zs, scalars, axis: str = "shard",
+                   nbits: int = 254):
+    """Data-parallel G1 MSM: each device reduces its shard of points; the
     Jacobian partials are all-gathered and folded on every device."""
     n_dev = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, axis),) * 4,
-             out_specs=(P(None, None),) * 3)
+             out_specs=(P(None, None),) * 3, check_rep=False)
     def step(x, y, z, sc):
-        prods = ec.batched_scalar_mul(ec.F1, (x, y, z), sc)
-        part = ec.tree_reduce(ec.F1, prods)                  # (16, 1) each
-        gx = jax.lax.all_gather(part[0], axis, axis=2).reshape(fr.NLIMBS, n_dev)
-        gy = jax.lax.all_gather(part[1], axis, axis=2).reshape(fr.NLIMBS, n_dev)
-        gz = jax.lax.all_gather(part[2], axis, axis=2).reshape(fr.NLIMBS, n_dev)
-        acc = (gx[:, 0:1], gy[:, 0:1], gz[:, 0:1])
-        for d in range(1, n_dev):
-            acc = ec.point_add(ec.F1, acc,
-                               (gx[:, d:d + 1], gy[:, d:d + 1],
-                                gz[:, d:d + 1]))
-        return acc
+        prods = ec.batched_scalar_mul(ec.F1, (x, y, z), sc, nbits)
+        part = ec.tree_reduce(ec.F1, prods)                  # (16, 1)
+        gathered = tuple(
+            jax.lax.all_gather(a, axis, axis=2).reshape(fr.NLIMBS, n_dev)
+            for a in part)
+        return point_fold(gathered)
 
     return step(xs, ys, zs, scalars)
 
 
 def training_step(mesh: Mesh, leaves_mont, msm_points, msm_scalars,
-                  axis: str = "shard"):
+                  axis: str = "shard", nbits: int = 254):
     """One full sharded pipeline step (the multi-chip dryrun target):
     device-parallel tree build + device-parallel MSM partials."""
     root = sharded_tree_root(mesh, leaves_mont, axis)
-    acc = sharded_msm_g1(mesh, *msm_points, msm_scalars, axis)
+    acc = sharded_msm_g1(mesh, *msm_points, msm_scalars, axis, nbits=nbits)
     return root, acc
