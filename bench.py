@@ -57,10 +57,15 @@ def main():
     assert got == want, \
         "device Poseidon does not match oracle — refusing to benchmark"
 
+    # NOTE: jax.block_until_ready does not reliably wait over the axon
+    # tunnel — force a device->host readback each iteration so the timing
+    # covers real compute.
     iters = 8
     t0 = time.perf_counter()
-    outs = [hfn(am, bm) for _ in range(iters)]
-    jax.block_until_ready(outs)
+    sink = 0
+    for _ in range(iters):
+        out = hfn(am, bm)
+        sink ^= int(jnp.sum(out, dtype=jnp.uint32))
     elapsed = time.perf_counter() - t0
     rate = BATCH * iters / elapsed
 
