@@ -8,6 +8,11 @@ tree's hot kernel (the reference spends its tree build in exactly this op,
 merkletree.go:236-262, at ~2^27 leaves production scale).  The workload is
 one wide independent batch per call, matching a real tree level.
 
+Engine: fused Pallas f32-digit kernel (ops/poseidon_f32_pallas) — sbox
+convolutions on the VPU at f32-FMA rate, constant matmuls (MDS mix +
+Montgomery reduction) on the MXU.  See ops/fr_f32.py for the exactness
+argument.
+
 Correctness gate: device digests are checked against the python oracle
 before any timing — a miscompiled kernel aborts instead of reporting.
 
@@ -28,46 +33,55 @@ BATCH = 1 << 17                  # one tree-level-sized call
 def main():
     import jax
     import jax.numpy as jnp
-    from zkpos_tpu.ops import fr
-    from zkpos_tpu.ops.poseidon import hash2_mont
+    from zkpos_tpu.ops import fr_f32 as fd
+    from zkpos_tpu.crypto.bn254 import R as P
     from zkpos_tpu.crypto.poseidon_ref import poseidon
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        from zkpos_tpu.ops.poseidon_pallas import hash2_mont_pallas as hfn
-        impl = "pallas"
+        from zkpos_tpu.ops.poseidon_f32_pallas import hash2_mont_f32p as hfn
+        impl = "pallas-f32"
     else:
-        hfn = hash2_mont
-        impl = "jnp"
+        from zkpos_tpu.ops.poseidon_f32 import hash2_mont as hfn
+        impl = "jnp-f32"
 
     rng = np.random.default_rng(7)
-    a = jnp.asarray(rng.integers(0, 1 << 16, size=(16, BATCH),
-                                 dtype=np.uint32))
-    b = jnp.asarray(rng.integers(0, 1 << 16, size=(16, BATCH),
-                                 dtype=np.uint32))
-    am, bm = fr.to_mont(a), fr.to_mont(b)
+    xs = [int.from_bytes(rng.bytes(32), "little") % P for _ in range(4)]
+    ys = [int.from_bytes(rng.bytes(32), "little") % P for _ in range(4)]
+    a4 = fd.to_mont(jnp.asarray(fd.ints_to_digits(xs)))
+    b4 = fd.to_mont(jnp.asarray(fd.ints_to_digits(ys)))
+    am = jnp.tile(a4, (1, BATCH // 4))
+    bm = jnp.tile(b4, (1, BATCH // 4))
 
     # warm-up / compile + correctness gate
     out = hfn(am, bm)
-    jax.block_until_ready(out)
-    got = fr.limbs_to_ints(np.asarray(fr.from_mont(out))[:, :3])
-    a_ints = fr.limbs_to_ints(np.asarray(a)[:, :3])
-    b_ints = fr.limbs_to_ints(np.asarray(b)[:, :3])
-    want = [poseidon([x, y]) for x, y in zip(a_ints, b_ints)]
-    assert got == want, \
+    got = fd.digits_to_ints(fd.from_mont(out[:, :4]))
+    got_tail = fd.digits_to_ints(fd.from_mont(out[:, -4:]))
+    want = [poseidon([x, y]) for x, y in zip(xs, ys)]
+    assert got == want and got_tail == want, \
         "device Poseidon does not match oracle — refusing to benchmark"
 
-    # NOTE: jax.block_until_ready does not reliably wait over the axon
-    # tunnel — force a device->host readback each iteration so the timing
-    # covers real compute.
-    iters = 8
+    # Sustained throughput: a data-dependent chain of hashes on device
+    # (output of one level feeds the next, exactly like a tree build), ONE
+    # scalar readback at the end.  block_until_ready is unreliable over the
+    # axon tunnel, so the readback is the synchronization point; the
+    # ~0.13s tunnel RTT is measured and subtracted.
+    iters = 16
+
+    @jax.jit
+    def chain():
+        def body(_, x):
+            return hfn(x, bm)
+        return jax.lax.fori_loop(0, iters, body, am)
+
+    sink = float(jnp.sum(chain()))          # compile + warm
     t0 = time.perf_counter()
-    sink = 0
-    for _ in range(iters):
-        out = hfn(am, bm)
-        sink ^= int(jnp.sum(out, dtype=jnp.uint32))
+    sink += float(jnp.sum(chain()))
     elapsed = time.perf_counter() - t0
-    rate = BATCH * iters / elapsed
+    t0 = time.perf_counter()
+    sink += float(jnp.sum(am))              # tunnel RTT + dispatch floor
+    rtt = time.perf_counter() - t0
+    rate = BATCH * iters / max(elapsed - rtt, 1e-9)
 
     print(json.dumps({
         "metric": "poseidon2_hashes_per_sec",
