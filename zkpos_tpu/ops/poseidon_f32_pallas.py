@@ -122,14 +122,26 @@ def _shift_down(c):
     return jnp.concatenate([jnp.zeros_like(c[0:1]), c[:-1]], axis=0)
 
 
-def _ripple2(x):
-    """Two redundant-carry passes: output digits <= 383 given x < 2^23.8.
+def _ripple2(x, passes: int = 2):
+    """Redundant-carry passes: 2 passes bound digits <= 383 given x < 2^23.8;
+    a 3rd pass tightens to <= 256, which makes the digits EXACT in bf16 so
+    the Montgomery/MDS constant matmuls run single-pass on the MXU instead
+    of the ~6-pass f32 HIGHEST emulation (measured 37% of kernel time).
     Carries out of the top row are dropped (callers guarantee they are 0,
     or — for the mod-R m ripple — meant to be discarded)."""
-    for _ in range(2):
+    for _ in range(passes):
         c = jnp.floor(x * INV256)
         x = (x - 256.0 * c) + _shift_down(c)
     return x
+
+
+def _bdot(w, x):
+    """Exact bf16 matmul: w entries <= 255, x entries <= 256 (both integers,
+    bf16-exact); products <= 2^16 accumulate exactly in f32 below 2^24."""
+    return jax.lax.dot_general(
+        w.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _conv(a, b):
@@ -151,16 +163,10 @@ def _reduce(t, wn3, wph, wc, bias=None):
     p2 = jnp.floor(v1 * INV256)
     p1 = v1 - 256.0 * p2
     x = jnp.concatenate([p0, p1, p2], axis=0)            # (102, K) bytes
-    m_c = jax.lax.dot_general(wn3, x, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-    m = _ripple2(m_c)                                    # canonical mod R
-    mp_hi = jax.lax.dot_general(wph, m, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-    mp_c8 = jax.lax.dot_general(wc, m, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+    m_c = _bdot(wn3, x)
+    m = _ripple2(m_c, passes=3)                          # mod R, digits <= 256
+    mp_hi = _bdot(wph, m)
+    mp_c8 = _bdot(wc, m)
     # exact low-half carry via the top 8 rows (v_lo is a multiple of R)
     f = jnp.zeros_like(t[0:1])
     for j in range(8):
@@ -171,7 +177,7 @@ def _reduce(t, wn3, wph, wc, bias=None):
     hi = hi + jnp.pad(carry, ((0, ND - 1), (0, 0)))
     if bias is not None:
         hi = hi + bias
-    return _ripple2(hi)
+    return _ripple2(hi, passes=3)          # <= 256: bf16-exact for matmuls
 
 
 def _sbox5(x, wn3, wph, wc):
@@ -200,14 +206,12 @@ def _perm2_kernel(a_ref, b_ref, ark0_ref, biascat_ref, wmix_ref,
 
     s = jnp.concatenate(
         [jnp.zeros((ND, T), jnp.float32), a_ref[...], b_ref[...]], axis=1)
-    s = _ripple2(s + _bcast3(ark0_ref[...], T))
+    s = _ripple2(s + _bcast3(ark0_ref[...], T), passes=3)
 
     def mix_reduce(s, r):
         s102 = jnp.concatenate(
             [s[:, :T], s[:, T:2 * T], s[:, 2 * T:]], axis=0)
-        raw = jax.lax.dot_general(wmix, s102, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        raw = _bdot(wmix, s102)
         t67 = jnp.concatenate(
             [raw[0:NC], raw[NCP:NCP + NC], raw[2 * NCP:2 * NCP + NC]],
             axis=1)
