@@ -38,8 +38,8 @@ def build_variant(mode):
             acc = p if acc is None else acc + p
         return acc
 
-    def _ripple2(x):
-        n = 1 if mode == "noripple" else 2
+    def _ripple2(x, passes=3):
+        n = 1 if mode == "noripple" else passes
         for _ in range(n):
             c = jnp.floor(x * INV256)
             x = (x - 256.0 * c) + pk._shift_down(c)
@@ -47,31 +47,31 @@ def build_variant(mode):
 
     def _reduce(t, wn3, wph, wc, bias=None):
         t_lo = t[:ND]
-        v1 = jnp.floor(t_lo * INV256)
-        p0 = t_lo - 256.0 * v1
-        p2 = jnp.floor(v1 * INV256)
-        p1 = v1 - 256.0 * p2
-        x = jnp.concatenate([p0, p1, p2], axis=0)
+        if mode == "noglue":
+            x = jnp.concatenate([t_lo, t_lo, t_lo], axis=0)
+        else:
+            v1 = jnp.floor(t_lo * INV256)
+            p0 = t_lo - 256.0 * v1
+            p2 = jnp.floor(v1 * INV256)
+            p1 = v1 - 256.0 * p2
+            x = jnp.concatenate([p0, p1, p2], axis=0)
         if mode == "nomm":
             m = _ripple2(x[:ND] + x[ND:2 * ND])
             mp_hi = m
             mp_c8 = m[:8]
         else:
-            m_c = jax.lax.dot_general(wn3, x, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
-            m = _ripple2(m_c)
-            mp_hi = jax.lax.dot_general(wph, m, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
-            mp_c8 = jax.lax.dot_general(wc, m, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
-        f = jnp.zeros_like(t[0:1])
-        for j in range(8):
-            k = ND - 8 + j
-            f = f + (t[k:k + 1] + mp_c8[j:j + 1]) * float(2.0 ** (8 * (k - ND)))
-        carry = jnp.floor(f + 0.5)
+            m_c = pk._bdot(wn3, x)
+            m = _ripple2(m_c, 3)
+            mp_hi = pk._bdot(wph, m)
+            mp_c8 = pk._bdot(wc, m)
+        if mode == "noglue":
+            carry = t[0:1]
+        else:
+            f = jnp.zeros_like(t[0:1])
+            for j in range(8):
+                k = ND - 8 + j
+                f = f + (t[k:k + 1] + mp_c8[j:j + 1]) * float(2.0 ** (8 * (k - ND)))
+            carry = jnp.floor(f + 0.5)
         hi = mp_hi + jnp.pad(t[ND:NC], ((0, 1), (0, 0)))
         hi = hi + jnp.pad(carry, ((0, ND - 1), (0, 0)))
         if bias is not None:
@@ -99,9 +99,7 @@ def build_variant(mode):
         def mix_reduce(s, r):
             s102 = jnp.concatenate(
                 [s[:, :T], s[:, T:2 * T], s[:, 2 * T:]], axis=0)
-            raw = jax.lax.dot_general(wmix, s102, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
+            raw = pk._bdot(wmix, s102)
             t67 = jnp.concatenate(
                 [raw[0:NC], raw[NCP:NCP + NC], raw[2 * NCP:2 * NCP + NC]],
                 axis=1)
@@ -166,12 +164,12 @@ def main():
     bm = am + 1.0
 
     rates = {}
-    for mode in ["full", "noconv", "nomm", "noripple"]:
+    for mode in ["full", "noconv", "nomm", "noripple", "noglue"]:
         r = timeit(build_variant(mode), am, bm)
         rates[mode] = r
         print(f"{mode:9s}: {r/1e6:7.3f} M hash/s", flush=True)
     tf = 1 / rates["full"]
-    for m in ["noconv", "nomm", "noripple"]:
+    for m in ["noconv", "nomm", "noripple", "noglue"]:
         print(f"share({m}) = {(tf - 1/rates[m])/tf*100:5.1f}%  of full time")
 
 

@@ -146,12 +146,21 @@ def _bdot(w, x):
 
 def _conv(a, b):
     """Digit convolution (34,K)x(34,K) -> (67,K); coeffs < 34*511^2.
-    Static-offset accumulation via zero-padding (Pallas TPU has no
-    scatter-add; pads lower to cheap concats)."""
+
+    Residue-grouped accumulation: S_r = sum_q shift_{8q}(a_{8q+r} * b) uses
+    only 8-row-aligned shifts (whole-vreg moves, no sublane rotates); the
+    final c = sum_r shift_r(S_r) needs just 8 misaligned shifted adds
+    instead of 34 (measured 1.72 T FMA/s vs 1.25 T for the naive pad loop,
+    scripts/probe_conv.py)."""
     acc = None
-    for i in range(ND):
-        p = jnp.pad(a[i:i + 1] * b, ((i, NC - ND - i), (0, 0)))
-        acc = p if acc is None else acc + p
+    for r in range(8):
+        s_r = None
+        for q in range((ND - r + 7) // 8):
+            i = 8 * q + r
+            p = jnp.pad(a[i:i + 1] * b, ((8 * q, NC - ND - 8 * q), (0, 0)))
+            s_r = p if s_r is None else s_r + p
+        t = s_r if r == 0 else jnp.pad(s_r[:NC - r], ((r, 0), (0, 0)))
+        acc = t if acc is None else acc + t
     return acc
 
 
