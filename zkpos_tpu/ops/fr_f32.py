@@ -70,7 +70,9 @@ def _reduce_mats():
         for i in range(NDIGITS):
             if 0 <= k - i < NDIGITS:
                 w_p[k, i] = pd[k - i]
-    return jnp.asarray(w_n), jnp.asarray(w_p)
+    # numpy, NOT jnp: jnp values created inside a jit trace are tracers and
+    # must never be cached across traces (leaked-tracer bug)
+    return w_n, w_p
 
 
 # -- host conversions ---------------------------------------------------------
@@ -138,7 +140,8 @@ def reduce_mont(t, bias=None):
     `bias` (34, B or 34, 1): optional digit vector added to the result
     before the final ripple (used to fold Poseidon ark constants in free).
     """
-    w_n, w_p = _reduce_mats()
+    w_n_np, w_p_np = _reduce_mats()
+    w_n, w_p = jnp.asarray(w_n_np), jnp.asarray(w_p_np)
     t_lo, t_lo_carry = _ripple(t, NDIGITS)          # canonical low digits
     # m = t_lo * n' mod R  (coeffs then mod-R ripple)
     m_c = jnp.einsum("ki,i...->k...", w_n, t_lo,
@@ -179,7 +182,8 @@ def mont_mul(a, b):
 def mul_const(k_mont_digits, b):
     """Constant (34,1) x (34, B) -> (34, B): Toeplitz product via einsum
     (MXU) + reduction.  k must already be in Montgomery form digits."""
-    w = _toeplitz_of(tuple(np.asarray(k_mont_digits).ravel().tolist()))
+    w = jnp.asarray(_toeplitz_of(
+        tuple(np.asarray(k_mont_digits).ravel().tolist())))
     t = jnp.einsum("ki,i...->k...", w, b,
                    preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -193,7 +197,7 @@ def _toeplitz_of(digs: tuple):
         for i in range(NDIGITS):
             if 0 <= k - i < NDIGITS:
                 w[k, i] = digs[k - i]
-    return jnp.asarray(w)
+    return w
 
 
 def add(a, b):

@@ -62,7 +62,9 @@ def _params(t: int):
                 for d in range(NDIGITS):
                     if 0 <= k - d < NDIGITS:
                         w[i, k, j, d] = md[k - d]
-    return (jnp.asarray(ark0), jnp.asarray(biases), jnp.asarray(w), r_p)
+    # numpy, NOT jnp: jnp constants created inside a jit trace are tracers
+    # and must never be cached across traces (leaked-tracer bug)
+    return (ark0.astype(np.float32), biases, w, r_p)
 
 
 def _sbox(x):
@@ -83,7 +85,10 @@ def _mix_reduce(s, w_mix, bias):
 
 def permute(state, t: int):
     """Poseidon permutation on (34, t, B) mont digits."""
-    ark0, biases, w_mix, r_p = _params(t)
+    ark0_np, biases_np, w_mix_np, r_p = _params(t)
+    ark0 = jnp.asarray(ark0_np)
+    biases = jnp.asarray(biases_np)
+    w_mix = jnp.asarray(w_mix_np)
     half = pp.R_FULL // 2
 
     state = fd.add(state, ark0[:, :, None])
