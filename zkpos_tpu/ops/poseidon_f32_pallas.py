@@ -5,21 +5,32 @@ HBM traffic is one read of the two input digit blocks and one write of the
 digest block.  Compute split (measured rates on v5e-lite, micro_probe3):
 
   VPU (f32 FMA ~1 T/s): sbox x^5 digit convolutions + carry ripples
-  MXU (f32 dot ~7.7 T/s): MDS mix (one 201x102 constant matmul/round),
-       Montgomery m = t*n' and m*p constant matmuls
+  MXU (bf16 dot): MDS mixes and Montgomery constant matmuls
+
+Round schedule: optimized partial rounds (crypto/poseidon_opt.py).  The 57
+partial rounds run with SPARSE mixes — one (80,102) row matmul + one
+(160,34) column matmul per round instead of the dense (216,102) MDS — with
+all round constants folded onto lane 0; only the final partial round and
+the 8 full rounds pay a dense mix.  This cuts the partial-round MXU work
+~2.3x versus the naive schedule.  Equivalence with the unoptimized
+permutation is bit-tested (tests/test_poseidon_opt.py) and the digest is
+oracle-gated in bench.py.
 
 Exactness invariants (all integers, f32-exact below 2^24):
   * state digits lazily bounded <= 511 (canonical-ish base-256, one spare
-    bit) — 2-pass redundant-carry ripples never fully propagate carries
-  * conv coeffs <= 34*511^2 < 2^23.2 ; mix coeffs <= 102*511*255 < 2^23.7
-  * matmul inputs byte-split to <= 255 (t_lo) or <= 511 (m digits)
+    bit) — 3-pass redundant-carry ripples bound digits <= 256
+  * conv coeffs <= 34*511^2 < 2^23.2 ; mix coeffs <= 3*34*256*255 < 2^22.7
+  * matmul inputs byte-split to <= 255 (t_lo) or <= 256 (digits); weights
+    <= 255: products <= 2^16, integer-exact in bf16 x bf16 -> f32 MXU dots
   * the (t + m*p)/R carry out of the low 34 digits is recovered exactly
     from the top 8 coefficient rows in f32: v_lo is an exact multiple of
     R = 2^272, so round(sum_{k>=26} s_k 256^{k-34}) == v_lo/R with error
     bound 2^-5 + 2^-48 < 1/2.
 
 Montgomery domain R = 2^272 with lazy (1+eps)p bound — no conditional
-subtractions anywhere in the round loop (see ops/fr_f32.py).
+subtractions anywhere in the round loop (see ops/fr_f32.py).  Additive
+biases fold into the Montgomery reduce: reduce(t, bias) = t/R + bias, so
+round constants and the sparse rounds' lane-1/2 accumulands cost nothing.
 
 Reference hot paths replaced: tree build merkletree.go:236-262, leaf
 hashing witness main.go:181-189.
@@ -37,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..crypto.bn254 import R as MODULUS
 from ..crypto import poseidon_params as pp
+from ..crypto import poseidon_opt as popt
 from ..crypto.poseidon_ref import OUTPUT_INDEX
 from . import fr_f32 as fd
 
@@ -44,63 +56,111 @@ ND = fd.NDIGITS            # 34
 NC = fd.NCONV              # 67
 TILE = 512                 # hashes per grid step
 INV256 = float(1.0 / 256.0)
+NCP = 72                   # 8-aligned mix output block height
+RB = 80                    # 16-aligned (bf16 sublane) sparse weight block
 
 
 def _f32(x):
     return jnp.asarray(x, dtype=jnp.float32)
 
 
-@functools.lru_cache(maxsize=None)
-def _consts(t: int = 3):
-    """Constant operands for the kernel (all float32 numpy):
-    ark0   (34, t)
-    biascat(34, t*rounds)  — col t*r+i = ark of round r+1, lane i
-    w_mix  (t*67, t*34)    — weights-first mix: raw = W @ vstack(s_i)
-    w_n3   (34, 102)       — m = W_n3 @ bytesplit3(t_lo)  (mod-R Toeplitz)
-    w_p    (68, 34)        — mp = W_p @ m  (Toeplitz of p digits)
-    """
-    consts, mds = pp.generate_params(t)
-    r_p = pp.partial_rounds(t)
-    rounds = pp.R_FULL + r_p
+def _mont_digits(v):
+    return fd._digits_of((v * fd.R_MONT) % MODULUS, ND)
 
-    def mont_digits(v):
-        return fd._digits_of((v * fd.R_MONT) % MODULUS, ND)
 
-    ark0 = np.stack([mont_digits(consts[i]) for i in range(t)], axis=1)
-    # biases indexed by round on the SUBLANE axis, 40 rows (8-aligned) per
-    # round, so the in-kernel dynamic slice offset 40*r is provably aligned
-    biascat = np.zeros((rounds * 40, t), dtype=np.float32)
-    for r in range(rounds - 1):
-        for i in range(t):
-            biascat[r * 40:r * 40 + ND, i] = mont_digits(
-                consts[(r + 1) * t + i])
+def _toep(val, rows=NCP):
+    """(rows, 34) Toeplitz of the Montgomery digits of val (conv weights)."""
+    d = _mont_digits(val)
+    w = np.zeros((rows, ND), dtype=np.float32)
+    for k in range(min(rows, NC)):
+        for i in range(ND):
+            if 0 <= k - i < ND:
+                w[k, i] = d[k - i]
+    return w
 
-    # mix output blocks padded to 72 rows so in-kernel slices land on
-    # 8-aligned sublane offsets (Mosaic concat constraint)
-    NCP = 72
-    w_mix = np.zeros((t * NCP, t * ND), dtype=np.float32)
+
+def _dense_mix_mat(mat, t=3):
+    """(t*NCP, t*ND) weights-first digit-Toeplitz of a t x t field matrix."""
+    w = np.zeros((t * NCP, t * ND), dtype=np.float32)
     for i in range(t):
         for j in range(t):
-            md = mont_digits(mds[i][j])
-            for k in range(NC):
-                for d in range(ND):
-                    if 0 <= k - d < ND:
-                        w_mix[i * NCP + k, j * ND + d] = md[k - d]
+            w[i * NCP:(i + 1) * NCP, j * ND:(j + 1) * ND] = _toep(mat[i][j])
+    return w
+
+
+def _bias_block(vals, t=3):
+    """(40, t) f32: one 8-aligned bias block, digits of mont(vals[i])."""
+    b = np.zeros((40, t), dtype=np.float32)
+    for i, v in enumerate(vals):
+        b[:ND, i] = _mont_digits(v)
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(t: int = 3):
+    """Constant operands (numpy; bf16 for matmul weights):
+    ark0    (34, 3)        initial constants (mont digits)
+    fb1     (4*40, 3)      biases after first-half full rounds
+                           (rounds 0..2: c_full; round 3: lane-0 d_0)
+    fb2     (4*40, 3)      biases after second-half full rounds (last: 0)
+    crescat (40, 3)        bias after the dense partial round (c_resume)
+    dcat    (56*40, 1)     lane-0 biases after sparse partial round i (d_{i+1})
+    w_mix   (216, 102)     dense MDS Toeplitz (full rounds)          [bf16]
+    w_last  (216, 102)     dense matrix of the final partial round   [bf16]
+    w_row   (56*80, 102)   sparse-round row matmuls [m00|v1|v2]      [bf16]
+    w_col   (56*160, 34)   sparse-round col matmuls [w1; w2]         [bf16]
+    w_n3    (34, 102)      Montgomery m = W_n3 @ bytesplit3(t_lo)    [bf16]
+    w_p     (34, 34)       mp_hi = W_p @ m                           [bf16]
+    w_c     (8, 34)        carry-estimate rows                       [bf16]
+    """
+    assert t == 3
+    op = popt.opt_params(t)
+    r_p = pp.partial_rounds(t)
+    half = pp.R_FULL // 2
+    assert half == 4 and r_p == 57
+
+    ark0 = np.stack([_mont_digits(c) for c in op["c_init"]], axis=1)
+
+    fb1 = np.zeros((half * 40, t), dtype=np.float32)
+    for r in range(half - 1):
+        fb1[r * 40:(r + 1) * 40] = _bias_block(op["c_full"][r])
+    fb1[(half - 1) * 40:half * 40] = _bias_block(
+        [op["d_partial"][0], 0, 0])
+
+    fb2 = np.zeros((half * 40, t), dtype=np.float32)
+    for r in range(half - 1):
+        fb2[r * 40:(r + 1) * 40] = _bias_block(op["c_full_2nd"][r])
+
+    crescat = _bias_block(op["c_resume"])
+
+    n_sparse = r_p - 1
+    dcat = np.zeros((n_sparse * 40, 1), dtype=np.float32)
+    for i in range(n_sparse):
+        dcat[i * 40:i * 40 + ND, 0] = _mont_digits(op["d_partial"][i + 1])
+
+    w_mix = _dense_mix_mat(op["mds"])
+    w_last = _dense_mix_mat(op["dense_last"])
+
+    w_row = np.zeros((n_sparse * RB, 3 * ND), dtype=np.float32)
+    w_col = np.zeros((n_sparse * 2 * RB, ND), dtype=np.float32)
+    for i, (m00, v, w_hat) in enumerate(op["sparse"]):
+        blk = w_row[i * RB:i * RB + NCP]
+        blk[:, 0:ND] = _toep(m00)
+        blk[:, ND:2 * ND] = _toep(v[0])
+        blk[:, 2 * ND:3 * ND] = _toep(v[1])
+        w_col[2 * i * RB:2 * i * RB + NCP] = _toep(w_hat[0])
+        w_col[(2 * i + 1) * RB:(2 * i + 1) * RB + NCP] = _toep(w_hat[1])
 
     ndig = fd._digits_of(fd.N_INV, ND)
     w_n3 = np.zeros((ND, 3 * ND), dtype=np.float32)
     for plane in range(3):
         for i in range(ND):
             for k in range(ND):
-                # input byte at digit position i+plane (value t_lo[i] byte
-                # `plane`) contributes digit_{k-(i+plane)}(n') to m coeff k
                 src = k - (i + plane)
                 if 0 <= src < ND:
                     w_n3[k, plane * ND + i] = ndig[src]
 
     pdig = fd._digits_of(MODULUS, ND)
-    # m*p rows split into offset-0 pieces: rows 34..67 (the /R output) and
-    # rows 26..33 (feed the exact low-half carry estimate)
     w_p_hi = np.zeros((ND, ND), dtype=np.float32)
     w_c = np.zeros((8, ND), dtype=np.float32)
     for i in range(ND):
@@ -111,8 +171,8 @@ def _consts(t: int = 3):
                 elif k >= ND - 8:
                     w_c[k - (ND - 8), i] = pdig[k - i]
 
-    return (ark0.astype(np.float32), biascat, w_mix,
-            w_n3.astype(np.float32), w_p_hi, w_c)
+    return (ark0, fb1, fb2, crescat, dcat,
+            w_mix, w_last, w_row, w_col, w_n3, w_p_hi, w_c)
 
 
 # ---- in-kernel helpers (trace-time python over jnp values) -------------------
@@ -125,8 +185,7 @@ def _shift_down(c):
 def _ripple2(x, passes: int = 2):
     """Redundant-carry passes: 2 passes bound digits <= 383 given x < 2^23.8;
     a 3rd pass tightens to <= 256, which makes the digits EXACT in bf16 so
-    the Montgomery/MDS constant matmuls run single-pass on the MXU instead
-    of the ~6-pass f32 HIGHEST emulation (measured 37% of kernel time).
+    the Montgomery/MDS constant matmuls run single-pass on the MXU.
     Carries out of the top row are dropped (callers guarantee they are 0,
     or — for the mod-R m ripple — meant to be discarded)."""
     for _ in range(passes):
@@ -136,10 +195,10 @@ def _ripple2(x, passes: int = 2):
 
 
 def _bdot(w, x):
-    """Exact bf16 matmul: w entries <= 255, x entries <= 256 (both integers,
+    """Exact bf16 matmul: w bf16 weights <= 255, x digits <= 256 (integers,
     bf16-exact); products <= 2^16 accumulate exactly in f32 below 2^24."""
     return jax.lax.dot_general(
-        w.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+        w, x.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -165,7 +224,10 @@ def _conv(a, b):
 
 
 def _reduce(t, wn3, wph, wc, bias=None):
-    """Montgomery-reduce raw coeffs t (67,K) -> digits (34,K) <= 383."""
+    """Montgomery-reduce raw coeffs t (67,K) -> digits (34,K) <= 256.
+    reduce(t, bias) == t * R^{-1} + bias (mod p): the optional bias lands
+    on the high rows AFTER the exact low-half carry is recovered, i.e. it
+    adds in the output domain for free."""
     t_lo = t[:ND]
     v1 = jnp.floor(t_lo * INV256)
     p0 = t_lo - 256.0 * v1
@@ -202,42 +264,63 @@ def _bcast3(cols, T):
         axis=1)
 
 
-def _perm2_kernel(a_ref, b_ref, ark0_ref, biascat_ref, wmix_ref,
+def _perm2_kernel(a_ref, b_ref, ark0_ref, fb1_ref, fb2_ref, cres_ref,
+                  dcat_ref, wmix_ref, wlast_ref, wrow_ref, wcol_ref,
                   wn3_ref, wph_ref, wc_ref, out_ref):
     T = a_ref.shape[1]
     wn3 = wn3_ref[...]
     wph = wph_ref[...]
     wc = wc_ref[...]
-    wmix = wmix_ref[...]
-    r_p = pp.partial_rounds(3)
     half = pp.R_FULL // 2
-    NCP = 72
+    n_sparse = pp.partial_rounds(3) - 1
 
     s = jnp.concatenate(
         [jnp.zeros((ND, T), jnp.float32), a_ref[...], b_ref[...]], axis=1)
     s = _ripple2(s + _bcast3(ark0_ref[...], T), passes=3)
 
-    def mix_reduce(s, r):
+    def dense_mix_reduce(w, s, bias):
         s102 = jnp.concatenate(
             [s[:, :T], s[:, T:2 * T], s[:, 2 * T:]], axis=0)
-        raw = _bdot(wmix, s102)
+        raw = _bdot(w, s102)
         t67 = jnp.concatenate(
             [raw[0:NC], raw[NCP:NCP + NC], raw[2 * NCP:2 * NCP + NC]],
             axis=1)
-        blk = biascat_ref[pl.ds(pl.multiple_of(40 * r, 8), 40), :]
-        bias = _bcast3(blk[:ND], T)
         return _reduce(t67, wn3, wph, wc, bias=bias)
 
-    def full_body(r, s):
-        return mix_reduce(_sbox5(s, wn3, wph, wc), r)
+    def full_body(bias_ref):
+        def body(r, s):
+            blk = bias_ref[pl.ds(pl.multiple_of(40 * r, 8), 40), :]
+            return dense_mix_reduce(
+                wmix_ref[...], _sbox5(s, wn3, wph, wc),
+                _bcast3(blk[:ND], T))
+        return body
 
-    def partial_body(r, s):
-        x5 = _sbox5(s[:, :T], wn3, wph, wc)
-        return mix_reduce(jnp.concatenate([x5, s[:, T:]], axis=1), r)
+    s = jax.lax.fori_loop(0, half, full_body(fb1_ref), s)
 
-    s = jax.lax.fori_loop(0, half, full_body, s)
-    s = jax.lax.fori_loop(half, half + r_p, partial_body, s)
-    s = jax.lax.fori_loop(half + r_p, 2 * half + r_p, full_body, s)
+    def sparse_body(i, s):
+        s0, s12 = s[:, :T], s[:, T:]
+        x5 = _sbox5(s0, wn3, wph, wc)
+        wr = wrow_ref[pl.ds(pl.multiple_of(RB * i, RB), RB), :]
+        wcl = wcol_ref[pl.ds(pl.multiple_of(2 * RB * i, RB), 2 * RB), :]
+        row_raw = _bdot(wr, jnp.concatenate([x5, s[:, T:2 * T],
+                                             s[:, 2 * T:]], axis=0))
+        col_raw = _bdot(wcl, x5)
+        t67 = jnp.concatenate(
+            [row_raw[0:NC], col_raw[0:NC], col_raw[RB:RB + NC]], axis=1)
+        dblk = dcat_ref[pl.ds(pl.multiple_of(40 * i, 8), 40), :]
+        bias = jnp.concatenate(
+            [jnp.broadcast_to(dblk[:ND], (ND, T)), s12], axis=1)
+        return _reduce(t67, wn3, wph, wc, bias=bias)
+
+    s = jax.lax.fori_loop(0, n_sparse, sparse_body, s)
+
+    # final partial round: lane-0 sbox + dense (folded) mix + c_resume
+    x5 = _sbox5(s[:, :T], wn3, wph, wc)
+    s = dense_mix_reduce(
+        wlast_ref[...], jnp.concatenate([x5, s[:, T:]], axis=1),
+        _bcast3(cres_ref[:ND], T))
+
+    s = jax.lax.fori_loop(0, half, full_body(fb2_ref), s)
 
     out_ref[...] = s[:, OUTPUT_INDEX * T:(OUTPUT_INDEX + 1) * T]
 
@@ -245,15 +328,19 @@ def _perm2_kernel(a_ref, b_ref, ark0_ref, biascat_ref, wmix_ref,
 @jax.jit
 def hash2_mont_f32p(a, b):
     """Merkle node hash, digit domain: (34,B) x (34,B) -> (34,B) f32.
-    Digits may be lazy (<=511); output digits <= 383."""
+    Digits may be lazy (<=511); output digits <= 256."""
     B = a.shape[1]
     pad = (-B) % TILE
     if pad:
         z = jnp.zeros((ND, pad), jnp.float32)
         a = jnp.concatenate([a, z], axis=1)
         b = jnp.concatenate([b, z], axis=1)
-    ark0, biascat, w_mix, w_n3, w_p_hi, w_c = (_f32(x) for x in _consts(3))
+    (ark0, fb1, fb2, crescat, dcat,
+     w_mix, w_last, w_row, w_col, w_n3, w_p_hi, w_c) = _consts(3)
+    bf = lambda x: jnp.asarray(x, dtype=jnp.bfloat16)
     n_tiles = a.shape[1] // TILE
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _perm2_kernel,
         grid=(n_tiles,),
@@ -262,22 +349,17 @@ def hash2_mont_f32p(a, b):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ND, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(ark0.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(biascat.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_mix.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_n3.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_p_hi.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_c.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            full(ark0.shape), full(fb1.shape), full(fb2.shape),
+            full(crescat.shape), full(dcat.shape),
+            full(w_mix.shape), full(w_last.shape),
+            full(w_row.shape), full(w_col.shape),
+            full(w_n3.shape), full(w_p_hi.shape), full(w_c.shape),
         ],
         out_specs=pl.BlockSpec((ND, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ND, a.shape[1]), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(a, b, ark0, biascat, w_mix, w_n3, w_p_hi, w_c)
+    )(a, b, _f32(ark0), _f32(fb1), _f32(fb2), _f32(crescat), _f32(dcat),
+      bf(w_mix), bf(w_last), bf(w_row), bf(w_col),
+      bf(w_n3), bf(w_p_hi), bf(w_c))
     return out[:, :B]
