@@ -1,0 +1,333 @@
+// zkpos_native — host-side native runtime for the TPU proving engine.
+//
+// The TPU owns the batched hot loops (Poseidon tree levels, MSM, NTT); this
+// library owns the host side of the pipeline, replacing what the reference
+// gets from gnark-crypto's Go+assembly field arithmetic (reference go.mod:56):
+//
+//   * BN254 Fr/Fp Montgomery arithmetic (4x64 limbs, CIOS with __int128)
+//   * batched Poseidon permutation (witness-service fallback + oracle)
+//   * big-int <-> f32-digit-vector conversions (the host<->device bridge
+//     used by ops/fd32.py; python int loops are the bottleneck there)
+//   * R1CS term-stream evaluation (witness solving / satisfaction checks)
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+// Build: g++ -O3 -march=native -shared -fPIC -o libzkpos_native.so zkpos_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+namespace {
+
+struct Field {
+    u64 mod[4];     // little-endian limbs
+    u64 ninv;       // -mod^-1 mod 2^64
+    u64 r2[4];      // R^2 mod p (R = 2^256)
+};
+
+// BN254 scalar field (Fr)
+constexpr Field FR = {
+    {0x43e1f593f0000001ull, 0x2833e84879b97091ull,
+     0xb85045b68181585dull, 0x30644e72e131a029ull},
+    0xc2e1f593efffffffull,
+    {0x1bb8e645ae216da7ull, 0x53fe3ab1e35c59e3ull,
+     0x8c49833d53bb8085ull, 0x0216d0b17f4e44a5ull},
+};
+
+// BN254 base field (Fp)
+constexpr Field FP = {
+    {0x3c208c16d87cfd47ull, 0x97816a916871ca8dull,
+     0xb85045b68181585dull, 0x30644e72e131a029ull},
+    0x87d20782e4866389ull,
+    {0xf32cfc5b538afa89ull, 0xb5e71911d44501fbull,
+     0x47ab1eff0a417ff6ull, 0x06d89f71cab8351full},
+};
+
+inline const Field& field(int which) { return which ? FP : FR; }
+
+inline bool geq(const u64* a, const u64* b) {
+    for (int i = 3; i >= 0; --i) {
+        if (a[i] != b[i]) return a[i] > b[i];
+    }
+    return true;
+}
+
+inline void sub4(u64* out, const u64* a, const u64* b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        out[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+inline void cond_sub(u64* a, const Field& f) {
+    if (geq(a, f.mod)) sub4(a, a, f.mod);
+}
+
+inline void add_mod(u64* out, const u64* a, const u64* b, const Field& f) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a[i] + b[i] + carry;
+        out[i] = (u64)s;
+        carry = s >> 64;
+    }
+    // mod < 2^254 so carry == 0 for reduced inputs
+    cond_sub(out, f);
+}
+
+inline void sub_mod(u64* out, const u64* a, const u64* b, const Field& f) {
+    if (geq(a, b)) {
+        sub4(out, a, b);
+    } else {
+        u64 t[4];
+        sub4(t, b, a);
+        sub4(out, f.mod, t);
+    }
+}
+
+// CIOS Montgomery multiply: out = a*b*R^-1 mod p
+inline void mont_mul(u64* out, const u64* a, const u64* b, const Field& f) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 s = (u128)a[j] * b[i] + t[j] + carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[4] + carry;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * f.ninv;
+        carry = ((u128)m * f.mod[0] + t[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 s2 = (u128)m * f.mod[j] + t[j] + carry;
+            t[j - 1] = (u64)s2;
+            carry = s2 >> 64;
+        }
+        s = (u128)t[4] + carry;
+        t[3] = (u64)s;
+        t[4] = t[5] + (u64)(s >> 64);
+        t[5] = 0;
+    }
+    out[0] = t[0]; out[1] = t[1]; out[2] = t[2]; out[3] = t[3];
+    if (t[4] || geq(out, f.mod)) sub4(out, out, f.mod);
+}
+
+inline void to_mont(u64* out, const u64* a, const Field& f) {
+    mont_mul(out, a, f.r2, f);
+}
+
+inline void from_mont(u64* out, const u64* a, const Field& f) {
+    u64 one[4] = {1, 0, 0, 0};
+    mont_mul(out, a, one, f);
+}
+
+inline void pow5(u64* x, const Field& f) {
+    u64 x2[4], x4[4];
+    mont_mul(x2, x, x, f);
+    mont_mul(x4, x2, x2, f);
+    mont_mul(x, x4, x, f);
+}
+
+// ---- Poseidon (t-width, BN254 Fr) ------------------------------------------
+
+struct PoseidonParams {
+    int t, rf, rp;
+    u64* ark;   // (rf+rp)*t limbs4, Montgomery form
+    u64* mds;   // t*t limbs4, Montgomery form
+};
+
+PoseidonParams g_pos = {0, 0, 0, nullptr, nullptr};
+
+}  // namespace
+
+extern "C" {
+
+// ---- field batch ops (which: 0 = Fr, 1 = Fp) -------------------------------
+
+void zk_mont_mul_batch(int which, const u64* a, const u64* b, u64* out,
+                       size_t n) {
+    const Field& f = field(which);
+    for (size_t i = 0; i < n; ++i)
+        mont_mul(out + 4 * i, a + 4 * i, b + 4 * i, f);
+}
+
+void zk_add_batch(int which, const u64* a, const u64* b, u64* out, size_t n) {
+    const Field& f = field(which);
+    for (size_t i = 0; i < n; ++i)
+        add_mod(out + 4 * i, a + 4 * i, b + 4 * i, f);
+}
+
+void zk_sub_batch(int which, const u64* a, const u64* b, u64* out, size_t n) {
+    const Field& f = field(which);
+    for (size_t i = 0; i < n; ++i)
+        sub_mod(out + 4 * i, a + 4 * i, b + 4 * i, f);
+}
+
+void zk_to_mont_batch(int which, const u64* a, u64* out, size_t n) {
+    const Field& f = field(which);
+    for (size_t i = 0; i < n; ++i) to_mont(out + 4 * i, a + 4 * i, f);
+}
+
+void zk_from_mont_batch(int which, const u64* a, u64* out, size_t n) {
+    const Field& f = field(which);
+    for (size_t i = 0; i < n; ++i) from_mont(out + 4 * i, a + 4 * i, f);
+}
+
+// ---- digit-vector bridge (ops/fd32.py layout: (34, N) f32, base 256) -------
+
+void zk_u256_to_digits(const u64* in, float* out, size_t n) {
+    for (size_t j = 0; j < n; ++j) {
+        const unsigned char* by =
+            reinterpret_cast<const unsigned char*>(in + 4 * j);
+        for (int i = 0; i < 32; ++i) out[(size_t)i * n + j] = (float)by[i];
+        out[32 * n + j] = 0.0f;
+        out[33 * n + j] = 0.0f;
+    }
+}
+
+// digits may be lazy (any value < 2^22 per digit); float64 input as produced
+// by np.asarray(dev, dtype=np.float64)
+void zk_digits_to_u256(int which, const double* in, u64* out, size_t n,
+                       int ndig) {
+    const Field& f = field(which);
+    for (size_t j = 0; j < n; ++j) {
+        // carry-normalize into bytes (value < 2^272 + slack)
+        unsigned char by[40];
+        std::memset(by, 0, sizeof by);
+        double carry = 0.0;
+        for (int i = 0; i < ndig; ++i) {
+            double s = in[(size_t)i * n + j] + carry;
+            carry = __builtin_floor(s / 256.0);
+            by[i] = (unsigned char)(s - 256.0 * carry);
+        }
+        for (int i = ndig; i < 40 && carry > 0.0; ++i) {
+            double nxt = __builtin_floor(carry / 256.0);
+            by[i] = (unsigned char)(carry - 256.0 * nxt);
+            carry = nxt;
+        }
+        // reduce the 40-byte value mod p: split as lo(32B) + hi(8B)*2^256
+        u64 limbs[4], hi = 0;
+        std::memcpy(limbs, by, 32);
+        std::memcpy(&hi, by + 32, 8);
+        // v mod p = lo mod p + hi * (2^256 mod p): use mont arithmetic:
+        // mont(lo) then from_mont gives lo mod p; do it with plain loop:
+        // fold hi: hi*2^256 = hi * R; mont_mul(hi_limbs, r2) = hi*R mod p
+        u64 hil[4] = {hi, 0, 0, 0};
+        u64 hir[4];
+        mont_mul(hir, hil, f.r2, f);      // hi * 2^256 mod p
+        // lo mod p: at most a few conditional subs (lo < 2^256 < 6p)
+        for (int k = 0; k < 6 && geq(limbs, f.mod); ++k)
+            sub4(limbs, limbs, f.mod);
+        add_mod(out + 4 * j, limbs, hir, f);
+    }
+}
+
+// ---- Poseidon --------------------------------------------------------------
+
+void zk_poseidon_init(int t, int rf, int rp, const u64* ark_std,
+                      const u64* mds_std) {
+    delete[] g_pos.ark;
+    delete[] g_pos.mds;
+    g_pos.t = t; g_pos.rf = rf; g_pos.rp = rp;
+    int na = (rf + rp) * t, nm = t * t;
+    g_pos.ark = new u64[4 * na];
+    g_pos.mds = new u64[4 * nm];
+    for (int i = 0; i < na; ++i) to_mont(g_pos.ark + 4 * i, ark_std + 4 * i, FR);
+    for (int i = 0; i < nm; ++i) to_mont(g_pos.mds + 4 * i, mds_std + 4 * i, FR);
+}
+
+// one permutation on a Montgomery-form state of width t (in place)
+static void poseidon_permute(u64* st) {
+    const int t = g_pos.t, rf = g_pos.rf, rp = g_pos.rp;
+    const int half = rf / 2;
+    u64 tmp[32][4];
+    for (int r = 0; r < rf + rp; ++r) {
+        for (int i = 0; i < t; ++i)
+            add_mod(st + 4 * i, st + 4 * i, g_pos.ark + 4 * (r * t + i), FR);
+        const bool full = (r < half) || (r >= half + rp);
+        if (full) {
+            for (int i = 0; i < t; ++i) pow5(st + 4 * i, FR);
+        } else {
+            pow5(st, FR);
+        }
+        for (int i = 0; i < t; ++i) {
+            u64 acc[4] = {0, 0, 0, 0};
+            for (int j = 0; j < t; ++j) {
+                u64 p[4];
+                mont_mul(p, g_pos.mds + 4 * (i * t + j), st + 4 * j, FR);
+                add_mod(acc, acc, p, FR);
+            }
+            std::memcpy(tmp[i], acc, 32);
+        }
+        for (int i = 0; i < t; ++i) std::memcpy(st + 4 * i, tmp[i], 32);
+    }
+}
+
+// batched 2-input hash (t=3): out = permute([0,a,b])[out_index]
+// a, b, out: standard (non-Montgomery) form, 4 limbs each
+void zk_poseidon2_batch(const u64* a, const u64* b, u64* out, size_t n,
+                        int out_index) {
+    for (size_t i = 0; i < n; ++i) {
+        u64 st[3 * 4] = {0};
+        to_mont(st + 4, a + 4 * i, FR);
+        to_mont(st + 8, b + 4 * i, FR);
+        poseidon_permute(st);
+        from_mont(out + 4 * i, st + 4 * out_index, FR);
+    }
+}
+
+// variadic permutation on caller-managed width-t states (standard form)
+void zk_poseidon_permute_batch(u64* states, size_t n) {
+    const int t = g_pos.t;
+    for (size_t i = 0; i < n; ++i) {
+        u64* st = states + (size_t)4 * t * i;
+        for (int k = 0; k < t; ++k) to_mont(st + 4 * k, st + 4 * k, FR);
+        poseidon_permute(st);
+        for (int k = 0; k < t; ++k) from_mont(st + 4 * k, st + 4 * k, FR);
+    }
+}
+
+// ---- R1CS term-stream evaluation -------------------------------------------
+//
+// terms laid out as parallel arrays (row (int64), var (int64), coeff mont
+// limbs4); z: witness values in STANDARD form; out[row] += coeff * z[var].
+// Evaluates Σ coeff·z per constraint for one matrix — the inner loop of
+// witness checking (gnark's IsSolved equivalent).
+void zk_lc_eval(const long long* rows, const long long* vars,
+                const u64* coeff_mont, const u64* z_std, u64* out_std,
+                size_t n_terms, size_t n_rows) {
+    // temp mont accumulators
+    u64* acc = new u64[4 * n_rows]();
+    for (size_t k = 0; k < n_terms; ++k) {
+        u64 zm[4], p[4];
+        to_mont(zm, z_std + 4 * (size_t)vars[k], FR);
+        mont_mul(p, coeff_mont + 4 * k, zm, FR);
+        add_mod(acc + 4 * (size_t)rows[k], acc + 4 * (size_t)rows[k], p, FR);
+    }
+    for (size_t r = 0; r < n_rows; ++r)
+        from_mont(out_std + 4 * r, acc + 4 * r, FR);
+    delete[] acc;
+}
+
+// satisfied[r] = (a[r]*b[r] == c[r]) over standard-form arrays
+void zk_r1cs_check(const u64* a, const u64* b, const u64* c,
+                   unsigned char* ok, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+        u64 am[4], bm[4], ab[4], abs_[4], cm[4];
+        to_mont(am, a + 4 * i, FR);
+        to_mont(bm, b + 4 * i, FR);
+        mont_mul(ab, am, bm, FR);
+        from_mont(abs_, ab, FR);
+        std::memcpy(cm, c + 4 * i, 32);
+        ok[i] = std::memcmp(abs_, cm, 32) == 0;
+    }
+}
+
+}  // extern "C"

@@ -64,6 +64,8 @@ class ConstraintSystem:
         self.constraints: List[Tuple[list, list, list]] = []
         self.hints: List[Tuple[Callable, List[LC], List[int]]] = []
         self._public_frozen = False
+        self._finalizers: List[Callable] = []
+        self._finalized = False
 
     # -- variable allocation --------------------------------------------------
 
@@ -171,6 +173,16 @@ class ConstraintSystem:
             else:
                 raise UnsatisfiedConstraint(msg)
 
+    def assert_product(self, a: VarLike, b: VarLike, c: VarLike) -> None:
+        """Emit a*b == c directly (no intermediate wire)."""
+        a, b, c = _as_lc(a), _as_lc(b), _as_lc(c)
+        self._emit(a, b, c)
+        if self.solve:
+            self._check(
+                (self.eval_lc(a) * self.eval_lc(b) - self.eval_lc(c))
+                % MOD == 0,
+                "assert_product failed")
+
     def assert_is_equal(self, a: VarLike, b: VarLike) -> None:
         a, b = _as_lc(a), _as_lc(b)
         d = self.sub(a, b)
@@ -267,6 +279,22 @@ class ConstraintSystem:
             self.range_check(b, nbits)
         self.range_check(self.sub(b, a), nbits)
 
+    # -- deferred gadget finalization (lookup arguments etc.) -----------------
+
+    def register_finalizer(self, fn: Callable) -> None:
+        """Gadgets with end-of-circuit constraints (e.g. the logUp lookup
+        argument, gadgets.LookupTable) register a finalizer; it runs once
+        before the constraint system is consumed (mirrors gnark's
+        api.Compiler callbacks used by std/lookup/logderivlookup)."""
+        self._finalizers.append(fn)
+
+    def finalize(self) -> None:
+        if self._finalized:
+            return
+        self._finalized = True
+        for fn in self._finalizers:
+            fn()
+
     # -- satisfiability -------------------------------------------------------
 
     def eval_terms(self, terms: Sequence[Tuple[int, int]]) -> int:
@@ -275,10 +303,15 @@ class ConstraintSystem:
     def is_satisfied(self) -> bool:
         if not self.solve:
             raise RuntimeError("is_satisfied requires solve mode")
+        try:
+            self.finalize()
+        except UnsatisfiedConstraint:
+            return False
         for a, b, c in self.constraints:
             if (self.eval_terms(a) * self.eval_terms(b) - self.eval_terms(c)) % MOD:
                 return False
         return True
 
     def witness_vector(self) -> List[int]:
+        self.finalize()
         return list(self.values)

@@ -67,42 +67,101 @@ def poseidon_gadget(cs: ConstraintSystem, inputs: List[VarLike]) -> LC:
 
 
 class LookupTable:
-    """logderivlookup.Table-compatible API (New/Insert/Lookup) with one-hot
-    mux constraints per query."""
+    """logderivlookup.Table-compatible API (New/Insert/Lookup) encoded as a
+    logUp (log-derivative) argument in plain R1CS.
+
+    The fork's table (circuit/batch_create_user_circuit.go:112,154,284)
+    gets its random challenge from the Groth16 commitment extension; here
+    the challenges are derived IN-CIRCUIT by Poseidon over the full
+    transcript (table entries, query indices, query outputs, and the
+    prover-chosen multiplicities) — the same Fiat-Shamir-in-circuit pattern
+    the reference itself uses for its RLC subset check
+    (batch_create_user_circuit.go:275-307).  Including the multiplicities
+    in the hash is what stops an adaptive prover from solving the single
+    linear relation for m after seeing α.
+
+    Identity enforced (α, β = challenges; row keys i + β·t_i; query keys
+    q_j + β·out_j):
+
+        Σ_i  m_i / (α − i − β·t_i)  ==  Σ_j  1 / (α − q_j − β·out_j)
+
+    at ~2 constraints per entry + 2 per query + one Poseidon chain, versus
+    O(|table|) per query for the one-hot encoding it replaces.
+    """
 
     def __init__(self, cs: ConstraintSystem):
         self.cs = cs
         self.entries: List[LC] = []
+        self.q_idx: List[LC] = []
+        self.q_out: List[LC] = []
+        self._finalized = False
+        cs.register_finalizer(self._finalize)
 
     def insert(self, v: VarLike) -> None:
+        if self._finalized:
+            raise RuntimeError("insert after finalize")
         self.entries.append(_as_lc(v))
 
     def lookup(self, *queries: VarLike) -> List[LC]:
-        return [self._lookup_one(q) for q in queries]
-
-    def _lookup_one(self, q: VarLike) -> LC:
+        if self._finalized:
+            raise RuntimeError("lookup after finalize")
         cs = self.cs
         n = len(self.entries)
         if n == 0:
             raise ValueError("lookup on empty table")
+        outs = []
+        for q in queries:
+            q = _as_lc(q)
 
-        def onehot_hint(ins):
-            idx = ins[0]
-            if idx >= n:
-                # out-of-range: no selector set (forces Σs=1 to fail)
-                return [0] * n
-            return [1 if i == idx else 0 for i in range(n)]
+            def out_hint(ins):
+                idx = ins[0]
+                if idx >= len(self.entries):
+                    return [0]
+                return [cs.eval_lc(self.entries[idx])]
 
-        sels = cs.new_hint(onehot_hint, n, q)
-        acc_sel = LC()
-        acc_idx = LC()
-        acc_val = LC()
-        for i, s in enumerate(sels):
-            cs.assert_is_boolean(s)
-            acc_sel = cs.add(acc_sel, s)
-            if i:
-                acc_idx = cs.add(acc_idx, cs.scale(s, i))
-            acc_val = cs.add(acc_val, cs.mul(s, self.entries[i]))
-        cs.assert_is_equal(acc_sel, 1)
-        cs.assert_is_equal(acc_idx, q)
-        return acc_val
+            (o,) = cs.new_hint(out_hint, 1, q)
+            self.q_idx.append(q)
+            self.q_out.append(o)
+            outs.append(o)
+        return outs
+
+    def _finalize(self) -> None:
+        if self._finalized or not self.q_idx:
+            self._finalized = True
+            return
+        self._finalized = True
+        cs = self.cs
+        T = len(self.entries)
+
+        def mult_hint(ins):
+            m = [0] * T
+            for idx in ins:
+                if 0 <= idx < T:
+                    m[idx] += 1
+            return m
+
+        ms = cs.new_hint(mult_hint, T, *self.q_idx)
+
+        transcript = self.entries + self.q_idx + self.q_out + ms
+        alpha = poseidon_gadget(cs, transcript)
+        beta = poseidon_gadget(cs, [alpha])
+
+        def inv_hint(ins):
+            num, den = ins
+            return [num * pow(den, MOD - 2, MOD) % MOD if den else 0]
+
+        lhs = LC()
+        for i, t in enumerate(self.entries):
+            key = cs.add(cs.mul(beta, t), i)
+            d = cs.sub(alpha, key)
+            (v,) = cs.new_hint(inv_hint, 1, ms[i], d)
+            cs.assert_product(v, d, ms[i])
+            lhs = cs.add(lhs, v)
+        rhs = LC()
+        for q, o in zip(self.q_idx, self.q_out):
+            key = cs.add(cs.mul(beta, o), q)
+            d = cs.sub(alpha, key)
+            (u,) = cs.new_hint(inv_hint, 1, LC(const=1), d)
+            cs.assert_product(u, d, LC(const=1))
+            rhs = cs.add(rhs, u)
+        cs.assert_is_equal(lhs, rhs)

@@ -1,11 +1,12 @@
 """Groth16 over BN254 — Setup / Prove / Verify.
 
 Replaces gnark's backend/groth16 (reference keygen main.go:42,
-prover.go:269-276, verifier main.go:284).  Scalar-side math (QAP evaluation,
-H(X) via NTT) runs on the host; the group-side heavy lifting (per-wire
-exponent tables in Setup, the 4 proof MSMs in Prove) runs on TPU via
-ops.ec.  Verification is three pairings on the host oracle (≈ the
-reference's ~3ms check, docs/...dummy_user_attack.md:201).
+prover.go:269-276, verifier main.go:284).  The prove hot path is
+device-native: H(X) via the device NTT pipeline (groth16/qap_device.py),
+the 5 proof MSMs via the Pippenger kernels (ops/msm.py), and Setup's
+exponent tables via the batched fixed-base kernel.  Verification is three
+pairings on the host oracle (≈ the reference's ~3ms check,
+docs/...dummy_user_attack.md:201).
 
 Proof system (standard Groth16):
   A = α + Σ z_i·A_i(τ) + rδ            (G1)
@@ -23,8 +24,12 @@ from typing import List, Optional, Tuple
 from ..crypto import bn254 as bn
 from ..crypto.bn254 import R as MOD
 from ..circuit.cs import ConstraintSystem
-from ..ops import ec
+from ..ops import msm
 from .ntt import batch_inverse, ntt, root_of_unity
+
+# device paths kick in above these sizes (below them the host oracle is
+# faster than kernel dispatch)
+_DEVICE_H_MIN_D = 64
 
 
 @dataclass
@@ -103,64 +108,12 @@ def _qap_evals(cs: ConstraintSystem, tau: int) -> Tuple[list, list, list, int, i
 
 
 def _fixed_base_g1(scalars: List[int]) -> List[Optional[tuple]]:
-    """[x·G₁ for x in scalars] batched on device."""
-    return _fixed_base(scalars, ec.g1_points_to_device([bn.G1_GEN]),
-                       ec.F1, ec._smul_all_g1)
+    """[x·G₁ for x in scalars] — batched window-table kernel (ops/msm.py)."""
+    return msm.fixed_base_batch("g1", [s % MOD for s in scalars])
 
 
 def _fixed_base_g2(scalars: List[int]) -> List[Optional[tuple]]:
-    return _fixed_base(scalars, ec.g2_points_to_device([bn.G2_GEN]),
-                       ec.F2, ec._smul_all_g2)
-
-
-def _fixed_base(scalars, gen_dev, F, kernel):
-    import numpy as np
-    import jax.numpy as jnp
-    n = len(scalars)
-    out = []
-    W = ec.MSM_CHUNK
-    base = tuple(jnp.repeat(a, W, axis=-1) for a in gen_dev)
-    for start in range(0, n, W):
-        chunk = [s % MOD for s in scalars[start:start + W]]
-        pad = W - len(chunk)
-        chunk += [0] * pad
-        sc = jnp.asarray(ec.fr_mod.ints_to_limbs(chunk))
-        prods = kernel(*base, sc)
-        out.extend(_points_from_device_batch(F, prods)[:W - pad])
-    return out
-
-
-def _points_from_device_batch(F, prods) -> List[Optional[tuple]]:
-    """Batch-convert Jacobian device points to affine python points."""
-    import numpy as np
-    if F is ec.F1:
-        xs = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(prods[0])))
-        ys = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(prods[1])))
-        zs = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(prods[2])))
-        zinv = batch_inverse_mod_p(zs)
-        out = []
-        for x, y, z, zi in zip(xs, ys, zs, zinv):
-            if z == 0:
-                out.append(None)
-            else:
-                out.append(((x * zi * zi) % bn.P, (y * zi * zi * zi) % bn.P))
-        return out
-    else:
-        comp = []
-        for a in prods:
-            c0 = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(a[0])))
-            c1 = ec.fp.limbs_to_ints(np.asarray(ec.fp.from_mont(a[1])))
-            comp.append([bn.Fp2(x, y) for x, y in zip(c0, c1)])
-        X, Y, Z = comp
-        out = []
-        for x, y, z in zip(X, Y, Z):
-            if z.is_zero():
-                out.append(None)
-            else:
-                zi = z.inv()
-                zi2 = zi * zi
-                out.append((x * zi2, y * zi2 * zi))
-        return out
+    return msm.fixed_base_batch("g2", [s % MOD for s in scalars])
 
 
 def batch_inverse_mod_p(vals: List[int]) -> List[int]:
@@ -266,13 +219,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
     rand = rng or (lambda: secrets.randbelow(MOD))
     r, s = rand(), rand()
 
-    h = _compute_h(cs, z, pk.domain_size)
+    if pk.domain_size >= _DEVICE_H_MIN_D:
+        from .qap_device import compute_h_device
+        h = compute_h_device(cs, z, pk.domain_size)
+    else:
+        h = _compute_h(cs, z, pk.domain_size)
 
-    sum_a = ec.msm_g1(pk.a_g1, z)
-    sum_b1 = ec.msm_g1(pk.b1_g1, z)
-    sum_b2 = ec.msm_g2(pk.b_g2, z)
-    krs_priv = ec.msm_g1(pk.k_g1, z[pk.num_public:])
-    krs_h = ec.msm_g1(pk.z_g1, h)
+    sum_a = msm.msm_g1(pk.a_g1, z)
+    sum_b1 = msm.msm_g1(pk.b1_g1, z)
+    sum_b2 = msm.msm_g2(pk.b_g2, z)
+    krs_priv = msm.msm_g1(pk.k_g1, z[pk.num_public:])
+    krs_h = msm.msm_g1(pk.z_g1, h)
 
     ar = bn.g1_add(bn.g1_add(pk.alpha_g1, sum_a),
                    bn.g1_mul(pk.delta_g1, r))

@@ -1,0 +1,131 @@
+"""Device QAP evaluation + H(X) for groth16.Prove.
+
+Replaces the host `_compute_h` loop (groth16/groth16.py) at scale: the
+per-constraint linear combinations Az/Bz/Cz become a gather + batched
+Montgomery multiply + segment-sum on device, and the six NTTs run on the
+device NTT (groth16/ntt_device.py).  Mirrors gnark's H pipeline inside
+groth16.Prove (reference prover.go:269: 3 iFFT + 3 coset FFT + pointwise +
+1 coset iFFT).
+
+Digit-sum exactness: segment sums add canonical digit vectors (rows <=
+255) in f32; a segment of T terms stays exact while 255*T < 2^24, i.e.
+T <= 65000 terms per constraint — far above the circuit's widest LC — and
+the lazy VALUE bound T*p stays far inside the 34-digit range.  One
+normalizing constant multiply (MXU Toeplitz) returns each row to ~1.02p.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..crypto.bn254 import R as MOD
+from ..ops.fd32 import FR, NDIGITS
+from .ntt import root_of_unity
+from .ntt_device import _const_mul, _toep, _twiddle_mul, ntt_mont
+
+
+@lru_cache(maxsize=None)
+def _one_toep():
+    return _toep(FR.r_mont % MOD)
+
+
+def _matrix_arrays(cs, which: int):
+    """Host-side (cached on the cs object): flatten matrix `which` (0=A,
+    1=B, 2=C) into term arrays (rows, vars, mont coeff digits)."""
+    cache = getattr(cs, "_qap_dev_cache", None)
+    if cache is None:
+        cache = {}
+        cs._qap_dev_cache = cache
+    if which not in cache:
+        rows, vars_, coeffs = [], [], []
+        for r, con in enumerate(cs.constraints):
+            for v, co in con[which]:
+                rows.append(r)
+                vars_.append(v)
+                coeffs.append((co * FR.r_mont) % MOD)
+        cache[which] = (
+            np.asarray(rows, dtype=np.int32),
+            np.asarray(vars_, dtype=np.int32),
+            FR.ints_to_digits(coeffs) if coeffs else
+            np.zeros((NDIGITS, 0), np.float32),
+        )
+    return cache[which]
+
+
+@lru_cache(maxsize=None)
+def _eval_fn(n_terms: int, d: int):
+    @jax.jit
+    def run(z_mont, var_idx, row_idx, coeff_dig):
+        zg = jnp.take(z_mont, var_idx, axis=1)          # (34, T)
+        prod = FR.mont_mul(zg, coeff_dig)               # (34, T) <=1.02p
+        sums = jax.ops.segment_sum(prod.T, row_idx,
+                                   num_segments=d)      # (d, 34)
+        # digit rows now reach 255*T_seg: carry-ripple back to canonical
+        # digits (exact while 255*T_seg < 2^23) BEFORE the bf-weight matmul
+        canon, _ = FR._ripple(sums.T, NDIGITS)
+        return _const_mul(canon, _one_toep())           # value -> ~1.02p
+    return run
+
+
+def eval_matrix_device(cs, z_mont, which: int, d: int):
+    rows, vars_, coeffs = _matrix_arrays(cs, which)
+    if len(rows) == 0:
+        return jnp.zeros((NDIGITS, d), jnp.float32)
+    return _eval_fn(len(rows), d)(
+        z_mont, jnp.asarray(vars_), jnp.asarray(rows), jnp.asarray(coeffs))
+
+
+@lru_cache(maxsize=None)
+def _coset_tables(d: int):
+    """(g^i) and (g^-i * Zg^-1) mont digit tables for the coset trick
+    (g = 5; Z(g x) = g^d x^d - 1 constant on the coset)."""
+    g = 5
+    gp = [1] * d
+    for i in range(1, d):
+        gp[i] = gp[i - 1] * g % MOD
+    g_inv = pow(g, MOD - 2, MOD)
+    z_cos_inv = pow((pow(g, d, MOD) - 1) % MOD, MOD - 2, MOD)
+    gip = [z_cos_inv] * d
+    for i in range(1, d):
+        gip[i] = gip[i - 1] * g_inv % MOD
+    mont = lambda vs: FR.ints_to_digits([(v * FR.r_mont) % MOD for v in vs])
+    return mont(gp), mont(gip)
+
+
+@lru_cache(maxsize=None)
+def _h_fn(d: int):
+    gp, gip = _coset_tables(d)
+
+    @jax.jit
+    def run(av, bv, cv):
+        a_cof = ntt_mont(av, inverse=True)
+        b_cof = ntt_mont(bv, inverse=True)
+        c_cof = ntt_mont(cv, inverse=True)
+        sc = lambda x, t: _twiddle_mul(x[:, None, :], t)[:, 0, :]
+        a_cos = ntt_mont(sc(a_cof, gp))
+        b_cos = ntt_mont(sc(b_cof, gp))
+        c_cos = ntt_mont(sc(c_cof, gp))
+        ab = FR.mont_mul(a_cos, b_cos)
+        h_cos = FR.sub(ab, c_cos, k=2)
+        h_cof = ntt_mont(h_cos, inverse=True)
+        return sc(h_cof, gip)       # un-scale; z_cos_inv folded into table
+    return run
+
+
+def compute_h_device(cs, z_ints, d: int):
+    """H(X) coefficients of (A·B − C)/Z as a python int list (len d-1)."""
+    z_mont = jnp.asarray(FR.ints_to_digits(
+        [(v * FR.r_mont) % MOD for v in z_ints]))
+    av = eval_matrix_device(cs, z_mont, 0, d)
+    bv = eval_matrix_device(cs, z_mont, 1, d)
+    cv = eval_matrix_device(cs, z_mont, 2, d)
+    h = _h_fn(d)(av, bv, cv)
+    rinv = pow(FR.r_mont, MOD - 2, MOD)
+    out = [(v * rinv) % MOD for v in FR.digits_to_ints(np.asarray(h))]
+    if out[d - 1] != 0:
+        raise ValueError("H degree too large — unsatisfied constraints?")
+    return out[:d - 1]
