@@ -63,6 +63,16 @@ class ProofRow:
     batch_number: int
 
 
+def open_database(dsn: str):
+    """Backend selection by DSN: `mysql://…` -> MySQL (db/mysql_backend.py,
+    reference-parity dialect + FOR UPDATE claims); anything else is a
+    sqlite path (the tested default)."""
+    if dsn.startswith("mysql://"):
+        from .mysql_backend import connect_dsn
+        return connect_dsn(dsn)
+    return Database(dsn)
+
+
 class Database:
     """Thin sqlite wrapper with per-thread connections and WAL mode."""
 

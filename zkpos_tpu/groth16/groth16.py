@@ -210,6 +210,22 @@ def _compute_h(cs: ConstraintSystem, z: List[int], d: int) -> List[int]:
     return h[:d - 1]
 
 
+def _pk_device_cache(pk: ProvingKey) -> dict:
+    """Device-resident MSM bases, uploaded once per pk (the analog of
+    gnark's LoadSnarkParamsOnce, reference prover.go:285-367)."""
+    cache = getattr(pk, "_dev_cache", None)
+    if cache is None:
+        cache = {
+            "a": msm.device_points("g1", pk.a_g1),
+            "b1": msm.device_points("g1", pk.b1_g1),
+            "b2": msm.device_points("g2", pk.b_g2),
+            "k": msm.device_points("g1", pk.k_g1),
+            "z": msm.device_points("g1", pk.z_g1),
+        }
+        pk._dev_cache = cache
+    return cache
+
+
 def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
     """groth16.Prove (prover.go:269): witness from the solved system, H via
     NTT, four MSMs on device."""
@@ -225,11 +241,12 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
     else:
         h = _compute_h(cs, z, pk.domain_size)
 
-    sum_a = msm.msm_g1(pk.a_g1, z)
-    sum_b1 = msm.msm_g1(pk.b1_g1, z)
-    sum_b2 = msm.msm_g2(pk.b_g2, z)
-    krs_priv = msm.msm_g1(pk.k_g1, z[pk.num_public:])
-    krs_h = msm.msm_g1(pk.z_g1, h)
+    dev = _pk_device_cache(pk)
+    sum_a = msm.msm_g1(pk.a_g1, z, base=dev["a"])
+    sum_b1 = msm.msm_g1(pk.b1_g1, z, base=dev["b1"])
+    sum_b2 = msm.msm_g2(pk.b_g2, z, base=dev["b2"])
+    krs_priv = msm.msm_g1(pk.k_g1, z[pk.num_public:], base=dev["k"])
+    krs_h = msm.msm_g1(pk.z_g1, h, base=dev["z"])
 
     ar = bn.g1_add(bn.g1_add(pk.alpha_g1, sum_a),
                    bn.g1_mul(pk.delta_g1, r))

@@ -3,32 +3,30 @@
 Replaces gnark-crypto's `MultiExp` inside groth16.Prove/Setup (reference
 prover.go:269, keygen main.go:42) with a TPU-shaped bucket method:
 
-  1. HOST: slice each scalar into W = ceil(254/c) c-bit windows (numpy byte
-     math), drop zero digits, and sort each window's point indices by
-     bucket value.  Sorting on the host turns the scatter-heavy bucket
-     accumulation into pure gathers — the only data-dependent addressing
-     TPUs do well — and every gather schedule is host-known, so the whole
-     MSM is one asynchronous dispatch stream with a single readback.
-  2. DEVICE: grouped reduction — sorted points are packed into a
-     (groups, 4) matrix (one row per (bucket, chunk-of-4)); a 2-level
-     pairwise tree reduce sums each row; rows of the same bucket recurse
-     (depth log4 N).  ANY bucket-size distribution (heavily duplicated
-     witness scalars: 0/1/2^k) costs ~1.33N point-add lanes total — no
-     2^c-sized padding, no spill path.
-  3. DEVICE: per-window fold Σ_b b·S_b by bucket-index BITS: for each bit
-     t, gather the bucket sums whose index has bit t set and tree-reduce;
-     the window partial is Σ_t 2^t·B_t (host, c tiny points).
-  4. HOST: Horner combine of window partials (c doublings per window).
-
-All point arithmetic is the complete-formula f32-digit engine
-(ops/ec_f32.py / ops/fd32.py): VPU f32 FMA convolutions for the variable
-products + MXU constant matmuls for Montgomery reductions.
+  1. HOST: slice each scalar into W = ceil(254/c) c-bit windows (numpy
+     byte math) and build ONE global stream of (key = window·2^c + bucket,
+     point index) entries across ALL windows, dropping zero digits.  One
+     argsort turns scatter-heavy bucket accumulation into pure gathers
+     with host-known schedules.
+  2. DEVICE: grouped reduction over the whole stream — entries are packed
+     into a (groups, 4) matrix (one row per (key, chunk-of-4)) and each
+     pass is ONE fused jit dispatch: gather + two complete point-add
+     folds (the Pallas kernel ops/ec_pallas.py on TPU).  Rows of a key
+     recurse; ANY bucket distribution (duplicate-heavy witness scalars)
+     costs ~1.33·N·W add-lanes with log4 passes.  Per-MSM dispatch count
+     is ~log4(N·W) + log4(2^c), independent of W — essential on the
+     axon tunnel where each dispatch costs milliseconds.
+  3. DEVICE: bucket fold Σ_b b·S_b by bucket-index BITS, again as one
+     grouped reduction: every bucket sum is re-streamed once per set bit
+     with key = (window, bit).
+  4. HOST: one readback; Horner combine over global bit positions
+     (≤254 doublings + adds on host ints).
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -38,8 +36,7 @@ from ..crypto import bn254 as bn
 from . import ec_f32 as ecf
 
 LCAP = 4           # matrix row width of one grouped-reduction pass
-LCAP_LOG = 2
-_SAFE_BOUND = 4.0  # stationary lazy bound of tree-reduce coordinates
+_SAFE_BOUND = 10.0  # stationary lazy bound of fold coordinates
 
 
 def _pow2ceil(n: int) -> int:
@@ -67,81 +64,96 @@ def _adapter(curve):
     return ecf.F1 if curve == "g1" else ecf.F2
 
 
-def _squeeze_last(pt):
-    def sq(e):
-        if isinstance(e, ecf.FE):
-            return ecf.FE(e.d[..., 0], e.bound)
-        return tuple(sq(c) for c in e)
-    return tuple(sq(c) for c in pt)
+def _device_add(curve, a, b):
+    """One complete point add on raw digit arrays (Pallas on TPU)."""
+    if jax.default_backend() == "tpu":
+        from .ec_pallas import point_add2_pallas, point_add_pallas
+        fn = point_add_pallas if curve == "g1" else point_add2_pallas
+        return fn(a, b)
+    F = _adapter(curve)
+    return _unwrap(curve, ecf.point_add(F, _wrap(curve, a),
+                                        _wrap(curve, b)))
 
 
 @lru_cache(maxsize=None)
-def _fold_fn(curve: str):
-    """jit: (34, 2k) arrays -> (34, k): add adjacent column pairs.  The ONLY
-    heavy graph in the MSM — one complete point_add — reused (via the jit
-    shape cache + persistent compile cache) at every power-of-two width by
-    every pass, window, and MSM size."""
-    F = _adapter(curve)
+def _pass_fn(curve: str):
+    """jit: (arrs (34, M), idx (R, 4)) -> row sums (34, R).  ONE dispatch:
+    gather + two pairwise folds."""
+
+    @jax.jit
+    def run(arrs, idx):
+        flat = tuple(jnp.take(a, idx.reshape(-1), axis=1) for a in arrs)
+        for _ in range(2):
+            flat = _device_add(curve,
+                               tuple(x[..., 0::2] for x in flat),
+                               tuple(x[..., 1::2] for x in flat))
+        return flat
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _id_col(curve: str):
+    """Identity column arrays (34, 1) as NUMPY: (0 : 1 : 0) in Montgomery
+    form.  numpy, not jnp — this is called inside jit traces and a cached
+    tracer would leak (see the round-1 leaked-tracer fix in ops/fr_f32.py)."""
+    conv = ecf.g1_to_device if curve == "g1" else ecf.g2_to_device
+    return tuple(np.asarray(a) for a in _unwrap(curve, conv([None])))
+
+
+@lru_cache(maxsize=None)
+def _prepend_id_fn(curve: str):
+    ids = _id_col(curve)
 
     @jax.jit
     def run(arrs):
-        a = _wrap(curve, tuple(x[..., 0::2] for x in arrs))
-        b = _wrap(curve, tuple(x[..., 1::2] for x in arrs))
-        return _unwrap(curve, ecf.point_add(F, a, b))
-
+        return tuple(jnp.concatenate([jnp.asarray(i), a], axis=1)
+                     for i, a in zip(ids, arrs))
     return run
 
 
-@lru_cache(maxsize=None)
-def _gather_fn():
-    @jax.jit
-    def run(arrs, idx):
-        return tuple(jnp.take(a, idx, axis=1) for a in arrs)
-    return run
+def _grouped_reduce(curve: str, cur_arrs, cur_keys: np.ndarray,
+                    cur_idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                                  tuple]:
+    """Reduce a key-sorted stream of points to one point per key.
 
-
-def _tree_reduce(curve: str, arrs, levels: int):
-    fold = _fold_fn(curve)
-    for _ in range(levels):
-        arrs = fold(arrs)
-    return arrs
-
-
-def _gather_reduce(curve: str, arrs, idx: np.ndarray):
-    """(coord arrays (34, M), idx (R, LCAP)) -> row sums (34, R)."""
-    R = idx.shape[0]
-    flat = _gather_fn()(arrs, jnp.asarray(idx.reshape(-1)))
-    return _tree_reduce(curve, flat, LCAP_LOG)
-
-
-def _gather_treesum(curve: str, arrs, idx: np.ndarray):
-    """(coord arrays (34, M), idx (2^log_w,)) -> (34, 1) total."""
-    log_w = idx.shape[0].bit_length() - 1
-    flat = _gather_fn()(arrs, jnp.asarray(idx))
-    return _tree_reduce(curve, flat, log_w)
+    cur_arrs: device arrays with an identity sentinel at column 0;
+    cur_idx: device column of each stream entry; cur_keys: sorted keys.
+    Returns (unique_keys, idx_into_result_arrays, result_arrays)."""
+    fn = _pass_fn(curve)
+    prepend = _prepend_id_fn(curve)
+    while True:
+        uniq, counts = np.unique(cur_keys, return_counts=True)
+        if len(cur_keys) == len(uniq):
+            return uniq, cur_idx, cur_arrs
+        rows_per = -(-counts // LCAP)
+        R = int(rows_per.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        row_starts = np.concatenate([[0], np.cumsum(rows_per)[:-1]])
+        gid = np.repeat(np.arange(len(uniq)), counts)
+        rank = np.arange(len(cur_keys)) - starts[gid]
+        row = row_starts[gid] + rank // LCAP
+        col = rank % LCAP
+        Rp = _pow2ceil(max(R, 8))
+        idx = np.zeros((Rp, LCAP), dtype=np.int32)
+        idx[row, col] = cur_idx
+        out = fn(cur_arrs, jnp.asarray(idx))
+        cur_arrs = prepend(out)
+        cur_keys = np.repeat(uniq, rows_per)
+        cur_idx = (np.arange(len(cur_keys)) + 1).astype(np.int32)
 
 
 def _to_device_padded(curve: str, points):
-    """Affine host points -> tuple of (34, P) raw digit arrays with column 0
-    an identity sentinel and P a power of two."""
+    """Affine host points -> (34, P) digit arrays, identity sentinel at
+    column 0, P a power of two (pad columns are never dereferenced)."""
     conv = ecf.g1_to_device if curve == "g1" else ecf.g2_to_device
     pts = conv([None] + list(points))
     arrs = _unwrap(curve, pts)
     P = _pow2ceil(arrs[0].shape[1])
     pad = P - arrs[0].shape[1]
     if pad:
-        # pad with identity columns (X=0, Z=0; Y=0 is fine: Y is never
-        # branched on and a (0:0:0) column is only ever read as filler at
-        # slots the schedule marked identity)
         arrs = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in arrs)
-    return arrs
-
-
-@lru_cache(maxsize=None)
-def _id_col(curve: str):
-    """Identity column arrays (34, 1): (0 : 1 : 0) in Montgomery form."""
-    conv = ecf.g1_to_device if curve == "g1" else ecf.g2_to_device
-    return _unwrap(curve, conv([None]))
+    return tuple(jnp.asarray(a) for a in arrs)
 
 
 def _windows_of(scalars, c: int) -> np.ndarray:
@@ -161,89 +173,61 @@ def _windows_of(scalars, c: int) -> np.ndarray:
     return out
 
 
-def _reduce_window(curve: str, base_arrs, keys: np.ndarray,
-                   order: np.ndarray, c: int) -> List:
-    """One window's bucket sums + bit-fold; returns c lazy (34, 1) device
-    partials B_t = Σ_{b has bit t} S_b (window value = Σ_t 2^t B_t)."""
-    cur_keys = keys[order]                  # sorted, all nonzero
-    cur_idx = (order + 1).astype(np.int32)  # +1: identity sentinel at col 0
-    cur_arrs = base_arrs
-    while True:
-        uniq, counts = np.unique(cur_keys, return_counts=True)
-        if len(cur_keys) == len(uniq):
-            break
-        rows_per = -(-counts // LCAP)
-        R = int(rows_per.sum())
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        row_starts = np.concatenate([[0], np.cumsum(rows_per)[:-1]])
-        gid = np.repeat(np.arange(len(uniq)), counts)
-        rank = np.arange(len(cur_keys)) - starts[gid]
-        row = row_starts[gid] + rank // LCAP
-        col = rank % LCAP
-        Rp = _pow2ceil(max(R, 8))
-        idx = np.zeros((Rp, LCAP), dtype=np.int32)
-        idx[row, col] = cur_idx
-        out = _gather_reduce(curve, cur_arrs, idx)
-        # next pass gathers from [identity | outputs] — the sentinel must be
-        # a TRUE identity (0:1:0): an all-zero column is not a valid point
-        # under the complete formulas (P + (0:0:0) = (0:0:0))
-        cur_arrs = tuple(jnp.concatenate([i, a], axis=1)
-                         for i, a in zip(_id_col(curve), out))
-        cur_keys = np.repeat(uniq, rows_per)
-        cur_idx = (np.arange(len(cur_keys)) + 1).astype(np.int32)
-
-    partials = []
-    for t in range(c):
-        sel = cur_idx[(cur_keys >> t) & 1 == 1]
-        if len(sel) == 0:
-            partials.append(None)
-            continue
-        Wp = _pow2ceil(len(sel))
-        idx = np.zeros((Wp,), dtype=np.int32)
-        idx[:len(sel)] = sel
-        partials.append(_gather_treesum(curve, cur_arrs, idx))
-    return partials
-
-
-def _msm(curve: str, points, scalars, c: Optional[int] = None):
+def _msm(curve: str, points, scalars, c: Optional[int] = None,
+         base=None):
     n = len(points)
     if n == 0:
         return None
     if c is None:
-        c = max(6, min(14, n.bit_length() - 4))
-    base_arrs = _to_device_padded(curve, points)
+        c = max(6, min(13, n.bit_length() - 3))
+    base_arrs = base if base is not None else _to_device_padded(curve, points)
+
+    # global stream over all windows: key = w*2^c + bucket
     win = _windows_of(scalars, c)
-    from_dev = ecf.g1_from_device if curve == "g1" else ecf.g2_from_device
-
-    slots = []   # (window, bit) for each collected device partial
-    parts = []
-    for w in range(win.shape[0]):
-        keys = win[w]
-        nz = np.nonzero(keys)[0]
-        if len(nz) == 0:
-            continue
-        order = nz[np.argsort(keys[nz], kind="stable")]
-        for t, out in enumerate(_reduce_window(
-                curve, base_arrs, keys, order, c)):
-            if out is not None:
-                slots.append((w, t))
-                parts.append(out)
-
-    if not parts:
+    W = win.shape[0]
+    keys_all = (np.arange(W, dtype=np.int64)[:, None] << c) | win
+    idx_all = np.broadcast_to(np.arange(1, n + 1, dtype=np.int64),
+                              (W, n))
+    nz = (win != 0)
+    keys = keys_all[nz]
+    idx = idx_all[nz].astype(np.int32)
+    if len(keys) == 0:
         return None
-    # ONE readback for the whole MSM
-    stacked = tuple(jnp.concatenate([p[i] for p in parts], axis=1)
-                    for i in range(len(parts[0])))
-    host_pts = from_dev(_wrap(curve, stacked))
+    order = np.argsort(keys, kind="stable")
+    keys, idx = keys[order], idx[order]
 
-    # every partial carries a pure power-of-two weight 2^(c*w + t):
-    # combine with one global Horner (≤254 doublings + adds, host ints)
+    # stage A: one point per (window, bucket)
+    skeys, sidx, sarrs = _grouped_reduce(curve, base_arrs, keys, idx)
+
+    # stage B: bucket fold by bits — re-stream every sum once per set bit,
+    # key2 = w*c + t
+    w_of = (skeys >> c).astype(np.int64)
+    b_of = skeys & ((1 << c) - 1)
+    k2, i2 = [], []
+    for t in range(c):
+        sel = (b_of >> t) & 1 == 1
+        k2.append(w_of[sel] * c + t)
+        i2.append(sidx[sel])
+    keys2 = np.concatenate(k2)
+    idx2 = np.concatenate(i2).astype(np.int32)
+    order = np.argsort(keys2, kind="stable")
+    fkeys, fidx, farrs = _grouped_reduce(curve, sarrs, keys2[order],
+                                         idx2[order])
+
+    # single readback: gather final columns in key order
+    cols = _gather_jit()(farrs, jnp.asarray(fidx.astype(np.int32)))
+    from_dev = ecf.g1_from_device if curve == "g1" else ecf.g2_from_device
+    host_pts = from_dev(_wrap(curve, cols))
+
+    # Horner over global bit positions b = c*w + t
     add = bn.g1_add if curve == "g1" else bn.g2_add
     by_bit = {}
-    for (w, t), pt in zip(slots, host_pts):
+    for key, pt in zip(fkeys, host_pts):
         if pt is not None:
-            b = c * w + t
-            by_bit[b] = add(by_bit.get(b), pt)
+            w, t = divmod(int(key), c)
+            by_bit[c * w + t] = add(by_bit.get(c * w + t), pt)
+    if not by_bit:
+        return None
     acc = None
     for b in range(max(by_bit), -1, -1):
         if acc is not None:
@@ -253,13 +237,20 @@ def _msm(curve: str, points, scalars, c: Optional[int] = None):
     return acc
 
 
-def msm_g1(points, scalars, c: Optional[int] = None):
-    """Σ s_i·P_i over G1; points [(x, y) | None], scalars [int]."""
-    return _msm("g1", points, scalars, c)
+def msm_g1(points, scalars, c: Optional[int] = None, base=None):
+    """Σ s_i·P_i over G1; points [(x, y) | None], scalars [int].
+    `base`: optional pre-uploaded device arrays (device_points)."""
+    return _msm("g1", points, scalars, c, base)
 
 
-def msm_g2(points, scalars, c: Optional[int] = None):
-    return _msm("g2", points, scalars, c)
+def msm_g2(points, scalars, c: Optional[int] = None, base=None):
+    return _msm("g2", points, scalars, c, base)
+
+
+def device_points(curve: str, points):
+    """Pre-upload an MSM base for reuse across proofs (the 12GB-pk analog
+    of gnark's in-RAM pk, reference prover.go:285-367)."""
+    return _to_device_padded(curve, points)
 
 
 # --- fixed-base batch: [s_i * GEN for each i] (groth16.Setup tables) ---------
@@ -290,10 +281,30 @@ def _fb_table(curve: str):
     return _unwrap(curve, conv(pts))
 
 
+@lru_cache(maxsize=None)
+def _fb_step_fn(curve: str):
+    """jit: one window accumulate — gather table points + add (fused)."""
+
+    @jax.jit
+    def run(acc_arrs, table_arrs, idx):
+        pts = tuple(jnp.take(a, idx, axis=1) for a in table_arrs)
+        return _device_add(curve, acc_arrs, pts)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _gather_jit():
+    @jax.jit
+    def run(arrs, idx):
+        return tuple(jnp.take(a, idx, axis=1) for a in arrs)
+    return run
+
+
 def fixed_base_batch(curve: str, scalars) -> List:
-    """[s·GEN for s in scalars] — batched window-table gathers + W adds
-    (each add = one interleave + the shared _fold_fn graph).  Replaces the
-    per-chunk double-and-add of the round-1 Setup path."""
+    """[s·GEN for s in scalars] — batched window-table gathers, one fused
+    dispatch per window.  Replaces the per-chunk double-and-add of the
+    round-1 Setup path."""
     n = len(scalars)
     if n == 0:
         return []
@@ -301,19 +312,16 @@ def fixed_base_batch(curve: str, scalars) -> List:
     win = _windows_of(scalars, c)
     table = _fb_table(curve)
     npad = _pow2ceil(max(n, 8))
-    gather = _gather_fn()
+    step = _fb_step_fn(curve)
+    gather = _gather_jit()
     from_dev = ecf.g1_from_device if curve == "g1" else ecf.g2_from_device
 
     acc = None
     for j in range(win.shape[0]):
         idx = np.zeros((npad,), dtype=np.int32)
         idx[:n] = j * (1 << c) + win[j]
-        pts = gather(table, jnp.asarray(idx))
         if acc is None:
-            acc = pts
+            acc = gather(table, jnp.asarray(idx))
         else:
-            inter = tuple(
-                jnp.stack([a, p], axis=-1).reshape(a.shape[0], 2 * npad)
-                for a, p in zip(acc, pts))
-            acc = _tree_reduce(curve, inter, 1)
+            acc = step(acc, table, jnp.asarray(idx))
     return from_dev(_wrap(curve, acc))[:n]

@@ -108,6 +108,41 @@ def sharded_msm_g1(mesh: Mesh, xs, ys, zs, scalars, axis: str = "shard",
     return step(xs, ys, zs, scalars)
 
 
+def sharded_point_fold_f32(mesh: Mesh, arrs, axis: str = "shard"):
+    """Cross-device sum of projective G1 partials on the f32 digit engine
+    (ops/ec_f32.py complete formulas): each device folds its local columns,
+    partial sums are all-gathered over ICI and folded replicated.
+
+    arrs: (X, Y, Z) digit arrays (34, D*k) with columns sharded over the
+    mesh; returns replicated (34, 1) digit arrays."""
+    from ..ops import ec_f32 as ecf
+    from ..ops.fd32 import NDIGITS
+    n_dev = mesh.devices.size
+
+    def local_fold(cols):
+        k = cols[0].shape[-1]
+        pts = tuple(ecf.F1.wrap(a, 4.0) for a in cols)
+        while k > 1:
+            pts = ecf.point_add(ecf.F1,
+                                tuple(ecf.FE(p.d[..., 0::2], p.bound)
+                                      for p in pts),
+                                tuple(ecf.FE(p.d[..., 1::2], p.bound)
+                                      for p in pts))
+            k //= 2
+        return tuple(p.d for p in pts)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, axis),) * 3,
+             out_specs=(P(None, None),) * 3, check_rep=False)
+    def step(x, y, z):
+        lx, ly, lz = local_fold((x, y, z))
+        gath = tuple(
+            jax.lax.all_gather(a, axis, axis=2).reshape(NDIGITS, n_dev)
+            for a in (lx, ly, lz))
+        return local_fold(gath)
+
+    return step(*arrs)
+
+
 def training_step(mesh: Mesh, leaves_mont, msm_points, msm_scalars,
                   axis: str = "shard", nbits: int = 254):
     """One full sharded pipeline step (the multi-chip dryrun target):

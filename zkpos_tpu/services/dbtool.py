@@ -18,7 +18,7 @@ from dataclasses import asdict
 
 from ..db.codec import decode_batch_witness
 from ..db.queue import TaskQueue
-from ..db.storage import (Database, DbErrNotFound, ProofModel,
+from ..db.storage import (Database, DbErrNotFound, ProofModel, open_database,
                           STATUS_FINISHED, STATUS_PUBLISHED, STATUS_RECEIVED,
                           UserProofModel, WitnessModel)
 
@@ -31,7 +31,7 @@ PROOF_CSV_COLUMNS = ["proof_info", "cex_asset_list_commitments",
 class DbTool:
     def __init__(self, cfg):
         self.cfg = cfg
-        self.db = Database(cfg.db_path)
+        self.db = open_database(cfg.db_path)
         self.witness = WitnessModel(self.db, cfg.db_suffix)
         self.userproof = UserProofModel(self.db, cfg.db_suffix)
         self.proof = ProofModel(self.db, cfg.db_suffix)

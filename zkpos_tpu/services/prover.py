@@ -21,7 +21,7 @@ from ..circuit import batch_create_user as bcu
 from ..circuit.cs import ConstraintSystem
 from ..db.codec import decode_batch_witness
 from ..db.queue import TaskQueue
-from ..db.storage import (Database, ProofModel, ProofRow, STATUS_FINISHED,
+from ..db.storage import (Database, ProofModel, ProofRow, open_database, STATUS_FINISHED,
                           STATUS_PUBLISHED, STATUS_RECEIVED, WitnessModel)
 from ..groth16 import groth16 as g16
 from ..groth16.serialize import proof_to_base64
@@ -34,7 +34,7 @@ class Prover:
     def __init__(self, cfg, tiers=None):
         self.cfg = cfg
         self.tiers = tiers or C.get_tiers()
-        self.db = Database(cfg.db_path)
+        self.db = open_database(cfg.db_path)
         self.witness_model = WitnessModel(self.db, cfg.db_suffix)
         self.proof_model = ProofModel(self.db, cfg.db_suffix)
         self.proof_model.create_table()

@@ -16,7 +16,7 @@ from typing import Dict, List
 
 from ..crypto.bn254 import fr_from_bytes
 from ..db.codec import decode_batch_witness, encode_batch_witness
-from ..db.storage import (Database, DbErrNotFound, ProofModel,
+from ..db.storage import (Database, DbErrNotFound, ProofModel, open_database,
                           STATUS_PUBLISHED, BatchWitnessRow, UserProofModel,
                           WitnessModel)
 from ..merkle.tree import AccountTree
@@ -54,7 +54,7 @@ class WitnessService:
     def __init__(self, cfg, tiers=None):
         self.cfg = cfg
         self.tiers = tiers or C.get_tiers()
-        self.db = Database(cfg.db_path)
+        self.db = open_database(cfg.db_path)
         self.witness_model = WitnessModel(self.db, cfg.db_suffix)
         self.userproof_model = UserProofModel(self.db, cfg.db_suffix)
 
