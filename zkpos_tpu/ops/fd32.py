@@ -129,8 +129,28 @@ class Fd32:
 
     @staticmethod
     def conv(a, b):
-        """Raw digit-product coefficients (34,...)x(34,...) -> (67,...)."""
+        """Raw digit-product coefficients (34,...)x(34,...) -> (67,...).
+
+        Two lowerings, bit-identical: on CPU a single grouped
+        lax.conv_general_dilated op (compiles ~30x faster — the unrolled
+        form makes XLA:CPU graphs huge, and the CPU path only backs tests
+        and small fallbacks); elsewhere the unrolled shifted-FMA form the
+        TPU fuses well."""
         B = a.shape[1:]
+        if jax.default_backend() == "cpu":
+            n = 1
+            for s in B:
+                n *= s
+            lhs = a.reshape(NDIGITS, n).T[None]          # (1, n, 34)
+            rhs = b.reshape(NDIGITS, n).T[:, None, ::-1]  # (n, 1, 34)
+            out = jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1,),
+                padding=[(NDIGITS - 1, NDIGITS - 1)],
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=n,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            return out[0].T.reshape((NCONV,) + B)
         acc = jnp.zeros((NCONV,) + B, dtype=jnp.float32)
         for i in range(NDIGITS):
             acc = acc.at[i:i + NDIGITS].add(a[i][None] * b)
@@ -138,9 +158,19 @@ class Fd32:
 
     @staticmethod
     def _ripple(c, n):
+        inv = jnp.float32(1.0 / 256.0)
+        if jax.default_backend() == "cpu":
+            # scan form: ~8x smaller graphs (XLA:CPU compile time is the
+            # test-suite bottleneck); bit-identical to the unrolled chain
+            def body(carry, row):
+                s = row + carry
+                cy = jnp.floor(s * inv)
+                return cy, s - 256.0 * cy
+            carry, digs = jax.lax.scan(
+                body, jnp.zeros(c.shape[1:], dtype=jnp.float32), c[:n])
+            return digs, carry
         digs = []
         carry = jnp.zeros(c.shape[1:], dtype=jnp.float32)
-        inv = jnp.float32(1.0 / 256.0)
         for i in range(n):
             s = c[i] + carry
             carry = jnp.floor(s * inv)
@@ -162,10 +192,18 @@ class Fd32:
                         precision=jax.lax.Precision.HIGHEST)
         carry = t_lo_carry
         inv = jnp.float32(1.0 / 256.0)
-        lo_carry = jnp.zeros(t.shape[1:], dtype=jnp.float32)
-        for i in range(NDIGITS):
-            s = t_lo[i] + mp[i] + lo_carry
-            lo_carry = jnp.floor(s * inv)
+        if jax.default_backend() == "cpu":
+            def body(cy, pair):
+                tl, mpi = pair
+                return jnp.floor((tl + mpi + cy) * inv), None
+            lo_carry, _ = jax.lax.scan(
+                body, jnp.zeros(t.shape[1:], dtype=jnp.float32),
+                (t_lo, mp[:NDIGITS]))
+        else:
+            lo_carry = jnp.zeros(t.shape[1:], dtype=jnp.float32)
+            for i in range(NDIGITS):
+                s = t_lo[i] + mp[i] + lo_carry
+                lo_carry = jnp.floor(s * inv)
         hi = []
         for k in range(NDIGITS):
             v = mp[NDIGITS + k]

@@ -223,8 +223,10 @@ def _conv(a, b):
     return acc
 
 
-def _reduce(t, wn3, wph, wc, bias=None):
-    """Montgomery-reduce raw coeffs t (67,K) -> digits (34,K) <= 256.
+def _reduce(t, wn3, wph, wc, bias=None, out_passes=3):
+    """Montgomery-reduce raw coeffs t (67,K) -> digits (34,K) <= 256
+    (out_passes=3) or <= 383 (out_passes=2 — legal when the consumer is a
+    digit conv, whose exactness holds to <= 511, but NOT a bf16 matmul).
     reduce(t, bias) == t * R^{-1} + bias (mod p): the optional bias lands
     on the high rows AFTER the exact low-half carry is recovered, i.e. it
     adds in the output domain for free."""
@@ -248,12 +250,15 @@ def _reduce(t, wn3, wph, wc, bias=None):
     hi = hi + jnp.pad(carry, ((0, ND - 1), (0, 0)))
     if bias is not None:
         hi = hi + bias
-    return _ripple2(hi, passes=3)          # <= 256: bf16-exact for matmuls
+    return _ripple2(hi, passes=out_passes)
 
 
 def _sbox5(x, wn3, wph, wc):
-    x2 = _reduce(_conv(x, x), wn3, wph, wc)
-    x4 = _reduce(_conv(x2, x2), wn3, wph, wc)
+    # x2/x4 feed only convs: 2-pass ripples (digits <= 383) keep conv
+    # coeffs <= 34*383^2 < 2^23.3, still f32-exact; x^5 feeds bf16
+    # matmuls and keeps the full 3-pass canonicalization
+    x2 = _reduce(_conv(x, x), wn3, wph, wc, out_passes=2)
+    x4 = _reduce(_conv(x2, x2), wn3, wph, wc, out_passes=2)
     return _reduce(_conv(x4, x), wn3, wph, wc)
 
 
