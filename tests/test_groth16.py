@@ -45,3 +45,43 @@ def test_groth16_end_to_end():
     proof2 = g16.prove(cs2, pk)
     assert g16.verify(proof2, vk, [h2])
     assert not g16.verify(proof2, vk, [h])
+
+
+def build_lookup(cs, pub_out=None, idxs=None, table_vals=(11, 22, 33, 44)):
+    """Circuit with a LookupTable: out = sum(table[idx_j]) for 3 private
+    query indices.  Regression for the round-2 bug where setup() skipped
+    cs.finalize(), building the pk WITHOUT the deferred logUp constraints
+    (ADVICE r2, high)."""
+    from zkpos_tpu.circuit.gadgets import LookupTable
+    pub = cs.new_public(pub_out)
+    if idxs is None:
+        idxs = [None] * 3
+    qs = [cs.new_witness(i) for i in idxs]
+    t = LookupTable(cs)
+    for v in table_vals:
+        t.insert(v)
+    outs = t.lookup(*qs)
+    cs.assert_is_equal(cs.add(*outs), pub)
+
+
+@pytest.mark.slow
+def test_groth16_with_lookup_table():
+    table = (11, 22, 33, 44)
+    idxs = [2, 0, 2]
+    want = sum(table[i] for i in idxs)
+
+    compile_cs = ConstraintSystem(solve=False)
+    build_lookup(compile_cs)
+    # finalize must run inside setup; the compiled system must match the
+    # solved one
+    pk, vk = g16.setup(compile_cs)
+
+    solve_cs = ConstraintSystem(solve=True)
+    build_lookup(solve_cs, want, idxs)
+    assert solve_cs.is_satisfied()
+    assert len(compile_cs.constraints) == len(solve_cs.constraints)
+    assert compile_cs.num_vars == solve_cs.num_vars
+
+    proof = g16.prove(solve_cs, pk)
+    assert g16.verify(proof, vk, [want])
+    assert not g16.verify(proof, vk, [want + 1])

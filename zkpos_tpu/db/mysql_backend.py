@@ -34,6 +34,11 @@ class MySQLDatabase:
     backed by a DB-API connection."""
 
     placeholder = "%s"
+    # appended by the models to claim SELECTs (storage.py / queue.py): under
+    # InnoDB REPEATABLE READ a plain SELECT takes no locks, so the
+    # Published->Received claim needs an explicit row lock
+    # (witness_model.go:129-152)
+    for_update_suffix = " FOR UPDATE"
 
     def __init__(self, connection_factory: Callable, **kwargs):
         self._factory = connection_factory
@@ -56,31 +61,52 @@ class MySQLDatabase:
 
     def execute(self, sql, params=()):
         con = self._conn()
-        with con.cursor() as cur:
+        cur = con.cursor()
+        try:
             cur.execute(self._adapt(sql), params)
+        finally:
+            cur.close()
         con.commit()
 
     def query(self, sql, params=()):
         con = self._conn()
-        with con.cursor() as cur:
+        cur = con.cursor()
+        try:
             cur.execute(self._adapt(sql), params)
             return list(cur.fetchall())
+        finally:
+            cur.close()
 
     def immediate(self):
         return _MySQLTxn(self._conn())
 
 
+def _begin(con):
+    """Portable transaction start: pymysql has begin(), mysql.connector has
+    start_transaction(), MySQLdb needs an explicit BEGIN statement."""
+    if hasattr(con, "begin"):
+        con.begin()
+    elif hasattr(con, "start_transaction"):
+        con.start_transaction()
+    else:
+        cur = con.cursor()
+        try:
+            cur.execute("BEGIN")
+        finally:
+            cur.close()
+
+
 class _MySQLTxn:
-    """Transaction wrapper; SELECTs inside get FOR UPDATE appended by the
-    caller via `claim=True` convention in the models (the sqlite backend
-    achieves the same with BEGIN IMMEDIATE)."""
+    """Transaction wrapper; the models append the backend's
+    for_update_suffix to claim SELECTs inside it (the sqlite backend
+    achieves the same mutual exclusion with BEGIN IMMEDIATE)."""
 
     def __init__(self, con):
         self.con = con
         self.cur = None
 
     def __enter__(self):
-        self.con.begin()
+        _begin(self.con)
         self.cur = self.con.cursor()
         return self
 

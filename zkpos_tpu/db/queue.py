@@ -33,10 +33,11 @@ class TaskQueue:
                 [(str(v),) for v in values])
 
     def rpop(self) -> Optional[str]:
+        for_update = getattr(self.db, "for_update_suffix", "")
         with self.db.immediate() as con:
             row = con.execute(
                 f"SELECT seq, value FROM {self.table} "
-                "ORDER BY seq LIMIT 1").fetchone()
+                f"ORDER BY seq LIMIT 1{for_update}").fetchone()
             if row is None:
                 return None
             con.execute(f"DELETE FROM {self.table} WHERE seq=?", (row[0],))

@@ -165,10 +165,14 @@ class WitnessModel:
                                 ) -> Optional[BatchWitnessRow]:
         """Transactional Published->Received claim
         (witness_model.go:129-152).  Returns None if already taken."""
+        # the MySQL backend turns the trailing marker into FOR UPDATE (row
+        # lock, witness_model.go:129-152); sqlite's BEGIN IMMEDIATE already
+        # serializes writers so the marker is dropped there
+        for_update = getattr(self.db, "for_update_suffix", "")
         with self.db.immediate() as con:
             row = con.execute(
                 f"SELECT height, witness_data, status FROM {self.table} "
-                "WHERE height=? AND status=?",
+                f"WHERE height=? AND status=?{for_update}",
                 (height, from_status)).fetchone()
             if row is None:
                 return None

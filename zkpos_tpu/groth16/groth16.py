@@ -133,6 +133,9 @@ def batch_inverse_mod_p(vals: List[int]) -> List[int]:
 def setup(cs: ConstraintSystem, rng=None) -> Tuple[ProvingKey, VerifyingKey]:
     """groth16.Setup (keygen main.go:42): toxic waste sampling + exponent
     tables.  Group exponentiations are device-batched fixed-base muls."""
+    cs.finalize()   # deferred gadget constraints (logUp tables) must be in
+    # the QAP — without this the pk is built on a smaller system than the
+    # one prove() solves (soundness hole + MSM length mismatch)
     rand = rng or (lambda: secrets.randbelow(MOD - 1) + 1)
     alpha, beta, gamma, delta, tau = (rand() for _ in range(5))
     A, B, Cv, z_tau, d = _qap_evals(cs, tau)

@@ -63,7 +63,8 @@ def _fp_consts():
     w_p  (34, 34):  mp_hi = w_p @ m
     w_c  (8, 34):   carry-estimate rows
     b3t  (72, 34):  Toeplitz of mont(9) — 3b for y^2 = x^3 + 3
-    kp   (6, 34):   k*p digit vectors, k = 1..6 (lazy subtraction offsets)
+    kp   (12, 34):  k*p digit vectors, k = 1..12 (lazy subtraction
+                    offsets; the G2 kernel indexes up to k = 9)
     """
     f = fd32.FP
     ndig = _digits_of(f.n_inv, ND)

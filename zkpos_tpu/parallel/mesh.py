@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ops import ec
 from ..ops import fr
 from ..ops.poseidon import hash2_mont
 
@@ -58,17 +57,28 @@ def merkle_fold(block):
     return out[:, 0:1]
 
 
-def point_fold(points):
-    """Sum a (…, D) batch of Jacobian points into lane 0 (roll butterfly)."""
-    D = points[0].shape[-1]
+def point_fold_f32(arrs, bound: float = 8.0):
+    """Sum a (34, D) batch of f32 projective points into lane 0.
+
+    Constant-shape roll butterfly: ONE complete-formula point_add body in a
+    fori_loop regardless of depth, so exactly one point-add graph is traced
+    and compiled (the round-2 unrolled version compiled ~5 distinct graphs
+    and timed out the driver's multichip dryrun).  Output bound of the
+    complete add is <= 3.1p for inputs <= 8p (ops/ec_f32.py module doc), so
+    a fixed wrap bound of 8.0 is loop-invariant."""
+    from ..ops import ec_f32 as ecf
+    D = arrs[0].shape[-1]
     levels = int(np.log2(D))
     assert (1 << levels) == D
 
-    def body(k, pts):
-        rolled = tuple(jnp.roll(a, -(1 << k), axis=-1) for a in pts)
-        return ec.point_add(ec.F1, pts, rolled)
+    def body(k, cur):
+        a = tuple(ecf.F1.wrap(v, bound) for v in cur)
+        b = tuple(ecf.FE(jnp.roll(p.d, -(1 << k), axis=-1), p.bound)
+                  for p in a)
+        out = ecf.point_add(ecf.F1, a, b)
+        return tuple(p.d for p in out)
 
-    out = jax.lax.fori_loop(0, levels, body, points)
+    out = jax.lax.fori_loop(0, levels, body, tuple(arrs))
     return tuple(a[..., 0:1] for a in out)
 
 
@@ -88,65 +98,88 @@ def sharded_tree_root(mesh: Mesh, leaves_mont, axis: str = "shard"):
     return step(leaves_mont)
 
 
-def sharded_msm_g1(mesh: Mesh, xs, ys, zs, scalars, axis: str = "shard",
-                   nbits: int = 254):
-    """Data-parallel G1 MSM: each device reduces its shard of points; the
-    Jacobian partials are all-gathered and folded on every device."""
+def scalar_mul_f32(arrs, bits, bound: float = 8.0):
+    """(34, D) f32 projective points times per-lane scalars given as an
+    MSB-first (nbits, D) {0,1} f32 bit array.  Bit-serial double-and-add
+    with the complete formulas — ONE fori_loop body (2 point adds) is
+    traced regardless of nbits."""
+    from ..ops import ec_f32 as ecf
+    nbits = bits.shape[0]
+    base = tuple(ecf.F1.wrap(v, bound) for v in arrs)
+    D = arrs[0].shape[-1]
+    ident = (jnp.zeros_like(arrs[0]),
+             jnp.zeros_like(arrs[1]).at[0].set(1.0),
+             jnp.zeros_like(arrs[2]))
+
+    def body(i, cur):
+        acc = tuple(ecf.F1.wrap(v, bound) for v in cur)
+        dbl = ecf.point_add(ecf.F1, acc, acc)
+        added = ecf.point_add(ecf.F1, dbl, base)
+        bit = bits[i]                                        # (D,)
+        out = tuple(ecf.F1.select(bit > 0.5, a, d)
+                    for a, d in zip(added, dbl))
+        return tuple(p.d for p in out)
+
+    return jax.lax.fori_loop(0, nbits, body, ident)
+
+
+def sharded_msm_f32(mesh: Mesh, arrs, bits, axis: str = "shard"):
+    """Data-parallel G1 MSM on the f32 complete-formula engine
+    (replaces the round-1 uint32 sharded MSM — same sharding shape as the
+    production Pippenger path's cross-device partial merge):
+
+      * each device scalar-multiplies its column shard (double-and-add),
+      * folds its local products to one projective partial (roll butterfly),
+      * partials are all-gathered over ICI and folded replicated.
+
+    arrs: (X, Y, Z) digit arrays (34, D); bits: MSB-first (nbits, D) f32.
+    Returns replicated (34, 1) digit arrays.  Mirrors gnark-crypto
+    MultiExp's chunk merge inside reference prover.go:269."""
+    from ..ops.fd32 import NDIGITS
     n_dev = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, axis),) * 4,
+             in_specs=(P(None, axis),) * 3 + (P(None, axis),),
              out_specs=(P(None, None),) * 3, check_rep=False)
-    def step(x, y, z, sc):
-        prods = ec.batched_scalar_mul(ec.F1, (x, y, z), sc, nbits)
-        part = ec.tree_reduce(ec.F1, prods)                  # (16, 1)
-        gathered = tuple(
-            jax.lax.all_gather(a, axis, axis=2).reshape(fr.NLIMBS, n_dev)
+    def step(x, y, z, b):
+        prods = scalar_mul_f32((x, y, z), b)
+        part = point_fold_f32(prods)                         # (34, 1)
+        gath = tuple(
+            jax.lax.all_gather(a, axis, axis=2).reshape(NDIGITS, n_dev)
             for a in part)
-        return point_fold(gathered)
+        return point_fold_f32(gath)
 
-    return step(xs, ys, zs, scalars)
+    return step(*arrs, bits)
 
 
 def sharded_point_fold_f32(mesh: Mesh, arrs, axis: str = "shard"):
-    """Cross-device sum of projective G1 partials on the f32 digit engine
-    (ops/ec_f32.py complete formulas): each device folds its local columns,
+    """Cross-device sum of projective G1 partials on the f32 digit engine:
+    each device folds its local columns (single-body roll butterfly),
     partial sums are all-gathered over ICI and folded replicated.
 
     arrs: (X, Y, Z) digit arrays (34, D*k) with columns sharded over the
     mesh; returns replicated (34, 1) digit arrays."""
-    from ..ops import ec_f32 as ecf
     from ..ops.fd32 import NDIGITS
     n_dev = mesh.devices.size
-
-    def local_fold(cols):
-        k = cols[0].shape[-1]
-        pts = tuple(ecf.F1.wrap(a, 4.0) for a in cols)
-        while k > 1:
-            pts = ecf.point_add(ecf.F1,
-                                tuple(ecf.FE(p.d[..., 0::2], p.bound)
-                                      for p in pts),
-                                tuple(ecf.FE(p.d[..., 1::2], p.bound)
-                                      for p in pts))
-            k //= 2
-        return tuple(p.d for p in pts)
 
     @partial(shard_map, mesh=mesh, in_specs=(P(None, axis),) * 3,
              out_specs=(P(None, None),) * 3, check_rep=False)
     def step(x, y, z):
-        lx, ly, lz = local_fold((x, y, z))
+        part = point_fold_f32((x, y, z))
         gath = tuple(
             jax.lax.all_gather(a, axis, axis=2).reshape(NDIGITS, n_dev)
-            for a in (lx, ly, lz))
-        return local_fold(gath)
+            for a in part)
+        return point_fold_f32(gath)
 
     return step(*arrs)
 
 
-def training_step(mesh: Mesh, leaves_mont, msm_points, msm_scalars,
-                  axis: str = "shard", nbits: int = 254):
+def training_step(mesh: Mesh, leaves_mont, msm_arrs, msm_bits,
+                  axis: str = "shard"):
     """One full sharded pipeline step (the multi-chip dryrun target):
-    device-parallel tree build + device-parallel MSM partials."""
+    device-parallel Merkle tree build (dp over leaf ranges, ICI
+    all-gather at the top levels) + device-parallel MSM with cross-device
+    fold of projective partials."""
     root = sharded_tree_root(mesh, leaves_mont, axis)
-    acc = sharded_msm_g1(mesh, *msm_points, msm_scalars, axis, nbits=nbits)
+    acc = sharded_msm_f32(mesh, msm_arrs, msm_bits, axis)
     return root, acc

@@ -28,6 +28,8 @@ def compile_tier(assets: int, batch: int) -> ConstraintSystem:
     shape = bcu.new_empty_assignment(assets, C.ASSET_COUNTS, batch)
     cs = ConstraintSystem(solve=False)
     bcu.define(cs, shape)
+    cs.finalize()   # flush deferred gadget constraints (logUp tables) so the
+    # compiled system matches what prove() solves
     return cs
 
 

@@ -21,8 +21,9 @@ from ..circuit import batch_create_user as bcu
 from ..circuit.cs import ConstraintSystem
 from ..db.codec import decode_batch_witness
 from ..db.queue import TaskQueue
-from ..db.storage import (Database, ProofModel, ProofRow, open_database, STATUS_FINISHED,
-                          STATUS_PUBLISHED, STATUS_RECEIVED, WitnessModel)
+from ..db.storage import (Database, DbErrNotFound, ProofModel, ProofRow,
+                          open_database, STATUS_FINISHED, STATUS_PUBLISHED,
+                          STATUS_RECEIVED, WitnessModel)
 from ..groth16 import groth16 as g16
 from ..groth16.serialize import proof_to_base64
 from ..utils import constants as C
@@ -92,13 +93,16 @@ class Prover:
         if row is None:
             return False
         wit = decode_batch_witness(row.witness_data)
-        # idempotency (prover.go:210-225)
+        # idempotency (prover.go:210-225): only ErrNotFound means "no proof
+        # yet, go prove"; any other DB error must propagate, not be
+        # swallowed as if the proof were absent
         try:
             self.proof_model.get_proof_by_batch_number(height)
+        except DbErrNotFound:
+            pass
+        else:
             self.witness_model.update_status(height, STATUS_FINISHED)
             return True
-        except Exception:
-            pass
         proof, assets, public = self.generate_and_verify_proof(wit, height)
         self.proof_model.create_proof(ProofRow(
             proof_info=proof_to_base64(proof),
