@@ -35,6 +35,20 @@ def test_circomlib_vectors():
         7853200120776062878684798364095072458815029376092732009249414926327459813530
 
 
+def test_iden3_wide_vectors():
+    """go-iden3-crypto poseidon_test.go vectors for t = 4..7: proves the
+    Grain-LFSR parameter generator is circomlib-faithful at EVERY width,
+    not just the golden-pinned t=3 (see COMPAT.md round-3 campaign)."""
+    assert pr.permutation([0, 1, 2, 3])[0] == \
+        6542985608222806190361240322586112750744169038454362455181422643027100751666
+    assert pr.permutation([0, 1, 2, 3, 4])[0] == \
+        18821383157269793795438455681495246036402687001665670618754263018637548127333
+    assert pr.permutation([0, 1, 2, 0, 0, 0])[0] == \
+        1018317224307729531995786483840663576608797660851238720571059489595066344487
+    assert pr.permutation([0, 1, 2, 3, 4, 5, 6])[0] == \
+        20400040500897583745843009878988256314335038853985262692600694741116813247201
+
+
 def test_node_hash_matches_reference_nil_chain(golden):
     """proof[i+1] == H2(proof[i], proof[i]) for all nil-subtree levels.
 
@@ -57,8 +71,27 @@ def test_hash2_regression():
     assert int.from_bytes(hs.sum(), "big") == h
 
 
-@pytest.mark.xfail(reason="wide-arity composition rule of the bnb fork not "
-                          "yet reverse-engineered — see COMPAT.md",
+def test_nil_chain_pins_five_input_hash(golden):
+    """Negative-space regression: the nil chain starts at proof[15], so the
+    fork's Poseidon(0,0,0,0,0) must satisfy H2^15(x) == proof[15].  Our
+    width-6 zero-state permutation (any digest slot) does NOT — recorded
+    here so a future candidate rule can be validated in one assert.  See
+    COMPAT.md round-3 campaign for the full search space eliminated."""
+    proof = golden["_proof_ints"]
+    # the chain property itself
+    for i in range(15, 27):
+        assert pr.poseidon([proof[i], proof[i]]) == proof[i + 1]
+    # our current default rule does not reproduce the fork (known gap)
+    x = pr.poseidon([0, 0, 0, 0, 0])
+    for _ in range(15):
+        x = pr.poseidon([x, x])
+    assert x != proof[15], "if this fires, the wide-arity rule was found!"
+
+
+@pytest.mark.xfail(reason="wide-arity rule of the bnb fork is outside the "
+                          "circomlib-composition space (~6k variants "
+                          "eliminated); blocked on fork source or a second "
+                          "golden artifact — see COMPAT.md round-3 campaign",
                    strict=False)
 def test_full_leaf_chain(golden):
     proof = golden["_proof_ints"]
