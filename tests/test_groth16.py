@@ -78,6 +78,11 @@ def test_groth16_with_lookup_table():
 
     solve_cs = ConstraintSystem(solve=True)
     build_lookup(solve_cs, want, idxs)
+    # keyed finalize: the logUp challenge comes from the Pedersen
+    # commitment (prove would set the key itself; setting it first lets
+    # is_satisfied run on the same keyed system)
+    solve_cs.set_commitment_key({"bases": pk.ck_bases,
+                                 "sigma_bases": pk.ck_sigma_bases})
     assert solve_cs.is_satisfied()
     assert len(compile_cs.constraints) == len(solve_cs.constraints)
     assert compile_cs.num_vars == solve_cs.num_vars

@@ -1,0 +1,84 @@
+"""gnark-crypto serialization: frozen byte vectors + round trips.
+
+The compressed-point encodings are checked against independently known
+values: G1_GEN = (1, 2) compresses to 0x8000..01 (flag 0b10 = compressed
+y-smallest in the two MSBs, per gnark-crypto bn254 marshal.go), and the
+BN254 G2 generator's x.c1 limb starts 0x198e9393... so its compressed form
+starts 0x998e9393....  VK field order follows gnark's documented
+[α]1 [β]1 [β]2 [γ]2 [δ]1 [δ]2 #K K layout (reference keygen main.go:46-66,
+verifier main.go:208-218); round 2 had delta before gamma (VERDICT r2 #7).
+"""
+import pytest
+
+from zkpos_tpu.crypto import bn254 as bn
+from zkpos_tpu.groth16 import serialize as sz
+
+G1_GEN_COMPRESSED = bytes.fromhex(
+    "8000000000000000000000000000000000000000000000000000000000000001")
+G1_GEN_NEG_COMPRESSED = bytes.fromhex(
+    "c000000000000000000000000000000000000000000000000000000000000001")
+G2_GEN_COMPRESSED = bytes.fromhex(
+    "998e9393920d483a7260bfb731fb5d25f1aa493335a9e71297e485b7aef312c2"
+    "1800deef121f1e76426a00665e5c4479674322d4f75edadd46debd5cd992f6ed")
+G1_INF_COMPRESSED = bytes.fromhex(
+    "4000000000000000000000000000000000000000000000000000000000000000")
+
+
+def test_frozen_point_vectors():
+    assert sz.g1_to_bytes(bn.G1_GEN) == G1_GEN_COMPRESSED
+    assert sz.g1_to_bytes(bn.g1_neg(bn.G1_GEN)) == G1_GEN_NEG_COMPRESSED
+    assert sz.g2_to_bytes(bn.G2_GEN) == G2_GEN_COMPRESSED
+    assert sz.g1_to_bytes(None) == G1_INF_COMPRESSED
+    # the G2 x.c1 limb of the canonical generator (sanity on byte order:
+    # c1 is written first, flag bits OR'd into its top byte)
+    assert bn.G2_GEN[0].c1 >> 248 == 0x19
+
+
+def test_point_round_trips():
+    for s in (1, 2, 5, 123456789, bn.R - 1):
+        p = bn.g1_mul(bn.G1_GEN, s)
+        assert sz.g1_from_bytes(sz.g1_to_bytes(p)) == p
+        q = bn.g2_mul(bn.G2_GEN, s)
+        assert sz.g2_from_bytes(sz.g2_to_bytes(q)) == q
+    assert sz.g1_from_bytes(sz.g1_to_bytes(None)) is None
+    assert sz.g2_from_bytes(sz.g2_to_bytes(None)) is None
+
+
+def test_vk_field_order():
+    """Alpha | Beta1 | Beta2 | Gamma2 | Delta1 | Delta2 | #K | K."""
+    from zkpos_tpu.groth16.groth16 import VerifyingKey
+    vk = VerifyingKey(
+        alpha_g1=bn.G1_GEN,
+        beta_g2=bn.g2_mul(bn.G2_GEN, 3),
+        gamma_g2=bn.g2_mul(bn.G2_GEN, 5),
+        delta_g2=bn.g2_mul(bn.G2_GEN, 7),
+        k_gamma_g1=[bn.G1_GEN, bn.g1_mul(bn.G1_GEN, 9)],
+        num_public=2)
+    raw = sz.vk_to_bytes(vk)
+    assert raw[0:32] == sz.g1_to_bytes(bn.G1_GEN)            # alpha
+    assert raw[32:64] == sz.g1_to_bytes(None)                # beta1 slot
+    assert raw[64:128] == sz.g2_to_bytes(vk.beta_g2)
+    assert raw[128:192] == sz.g2_to_bytes(vk.gamma_g2)       # gamma BEFORE delta
+    assert raw[192:224] == sz.g1_to_bytes(None)              # delta1 slot
+    assert raw[224:288] == sz.g2_to_bytes(vk.delta_g2)
+    assert raw[288:292] == (2).to_bytes(4, "big")
+    back = sz.vk_from_bytes(raw)
+    assert back.beta_g2 == vk.beta_g2
+    assert back.gamma_g2 == vk.gamma_g2
+    assert back.delta_g2 == vk.delta_g2
+    assert back.k_gamma_g1 == vk.k_gamma_g1
+
+
+def test_proof_round_trip_with_commitment():
+    from zkpos_tpu.groth16.groth16 import Proof
+    pf = Proof(ar=bn.g1_mul(bn.G1_GEN, 11),
+               bs=bn.g2_mul(bn.G2_GEN, 13),
+               krs=bn.g1_mul(bn.G1_GEN, 17),
+               d=bn.g1_mul(bn.G1_GEN, 19),
+               pok=bn.g1_mul(bn.G1_GEN, 23))
+    back = sz.proof_from_bytes(sz.proof_to_bytes(pf))
+    assert (back.ar, back.bs, back.krs, back.d, back.pok) == \
+        (pf.ar, pf.bs, pf.krs, pf.d, pf.pok)
+    plain = Proof(ar=pf.ar, bs=pf.bs, krs=pf.krs)
+    back2 = sz.proof_from_bytes(sz.proof_to_bytes(plain))
+    assert back2.d is None and back2.pok is None

@@ -53,7 +53,8 @@ class UnsatisfiedConstraint(Exception):
 
 
 class ConstraintSystem:
-    def __init__(self, solve: bool = False, collect_violations: bool = False):
+    def __init__(self, solve: bool = False, collect_violations: bool = False,
+                 range_bits: int = 8):
         self.solve = solve
         self.collect_violations = collect_violations
         self.violations: List[str] = []
@@ -66,6 +67,18 @@ class ConstraintSystem:
         self._public_frozen = False
         self._finalizers: List[Callable] = []
         self._finalized = False
+        # --- Pedersen-commitment challenge (gnark bsb22 analog) ----------
+        # committed wire ids + the challenge wire; populated by finalize()
+        # when any gadget registered a post-commit phase.  setup()/prove()/
+        # verify() in groth16.py consume this layout.
+        self.commitment: Optional[dict] = None   # {"wires": [ids], "challenge": id}
+        self._post_commit: List[Callable] = []
+        self._commit_key = None      # prove-time: {"bases": [G1], "sigma_bases": [G1]}
+        self._commit_result = None   # solve-time: (D point, pok point, c value)
+        # limb width of the shared lookup range-check table (2^range_bits
+        # entries; production keygen uses 16, tests default 8)
+        self.range_bits = range_bits
+        self._range_table = None
 
     # -- variable allocation --------------------------------------------------
 
@@ -253,10 +266,49 @@ class ConstraintSystem:
         return bits
 
     def range_check(self, v: VarLike, nbits: int) -> None:
-        """rangecheck.New(api).Check(v, nbits) equivalent (bit decomposition;
-        the reference uses a commitment-based lookup argument — same
-        semantics, different constraint encoding)."""
-        self.to_binary(v, nbits)
+        """rangecheck.New(api).Check(v, nbits) — lookup-based, matching the
+        reference's commitment rangecheck encoding
+        (batch_create_user_circuit.go:110 via gnark std/rangecheck):
+        decompose v into W-bit limbs (hint), prove each limb is in the
+        shared 2^W identity table via logUp, and recompose.  A partial top
+        limb r < W is additionally checked shifted by 2^(W-r) (gnark's
+        shift trick).  ~nbits/W + 2 constraints per check instead of
+        nbits + 1 for bit decomposition."""
+        W = self.range_bits
+        if nbits <= 0:
+            raise ValueError("nbits must be positive")
+        v = _as_lc(v)
+        n_limbs = (nbits + W - 1) // W
+        rem = nbits - (n_limbs - 1) * W          # bits in the top limb
+
+        table = self._get_range_table()
+
+        def limbs_hint(ins):
+            x = ins[0]
+            return [(x >> (W * i)) & ((1 << W) - 1) for i in range(n_limbs)]
+
+        limbs = self.new_hint(limbs_hint, n_limbs, v)
+        table.lookup(*limbs)
+        if rem < W:
+            # limb_top < 2^rem  <=>  limb_top * 2^(W-rem) < 2^W
+            table.lookup(self.scale(limbs[-1], 1 << (W - rem)))
+        acc = LC()
+        for i, l in enumerate(limbs):
+            acc = self.add(acc, self.scale(l, 1 << (W * i)))
+        self.assert_is_equal(acc, v)
+        if self.solve:
+            val = self.eval_lc(v)
+            self._check(val < (1 << nbits),
+                        f"range_check failed: {val} >= 2^{nbits}")
+
+    def _get_range_table(self):
+        if self._range_table is None:
+            from .gadgets import LookupTable
+            t = LookupTable(self)
+            for i in range(1 << self.range_bits):
+                t.insert(i)
+            self._range_table = t
+        return self._range_table
 
     def cmp_nop(self, a: VarLike, b: VarLike, nbits: int,
                 bounded: bool = True) -> LC:
@@ -288,12 +340,79 @@ class ConstraintSystem:
         api.Compiler callbacks used by std/lookup/logderivlookup)."""
         self._finalizers.append(fn)
 
+    def register_post_commit(self, wires: Sequence[LC], fn: Callable) -> None:
+        """Phase-2 gadget emission that needs a random challenge bound to
+        prover-chosen wires (logUp tables).  `wires` join the Pedersen
+        commitment; after all finalizers ran, finalize() allocates ONE
+        challenge wire c = H(commit(wires...)) and calls fn(c, index) for
+        each registration (gnark api.Compiler().Commit analog, used by the
+        fork's logderivlookup/rangecheck via the bsb22 commitment)."""
+        self._pending_commit_wires.extend(wires)
+        self._post_commit.append(fn)
+
+    _pending_commit_wires: List[LC]
+
+    def set_commitment_key(self, key) -> None:
+        """Prove-time commitment key from the proving key:
+        {"bases": [G1 affine], "sigma_bases": [G1 affine]} aligned with the
+        committed-wire order.  Must be set before finalize() in solve mode
+        (groth16.prove does this)."""
+        self._commit_key = key
+
+    def _wire_id(self, lc: VarLike) -> int:
+        lc = _as_lc(lc)
+        if len(lc.terms) == 1 and lc.const == 0:
+            (v, c), = lc.terms.items()
+            if c == 1:
+                return v
+        # materialize compound LCs into a fresh wire
+        val = self.eval_lc(lc) if self.solve else None
+        w = self._internal(val)
+        self._emit(self.sub(lc, w), LC(const=1), LC())
+        return next(iter(w.terms))
+
     def finalize(self) -> None:
         if self._finalized:
             return
         self._finalized = True
+        self._pending_commit_wires = getattr(self, "_pending_commit_wires", [])
         for fn in self._finalizers:
             fn()
+        if not self._post_commit:
+            return
+        wire_ids = [self._wire_id(w) for w in self._pending_commit_wires]
+        cval = None
+        if self.solve:
+            from ..crypto.poseidon_ref import poseidon as _poseidon
+            if self._commit_key is None:
+                # unkeyed mode (satisfiability testing without a proving
+                # key): the logUp identity holds for ANY challenge on an
+                # honest witness, so bind c to the transcript by a host
+                # hash.  prove() refuses such a system — it sets the real
+                # key before the first finalize.
+                vals = [self.values[w] for w in wire_ids]
+                cval = _poseidon(vals or [0])
+                self._commit_result = None
+            else:
+                from ..crypto import bn254 as bn
+                bases = self._commit_key["bases"]
+                sigma_bases = self._commit_key["sigma_bases"]
+                if len(bases) != len(wire_ids):
+                    raise ValueError("commitment key length mismatch")
+                d_pt = None
+                pok = None
+                for wid, b, sb in zip(wire_ids, bases, sigma_bases):
+                    z = self.values[wid]
+                    d_pt = bn.g1_add(d_pt, bn.g1_mul(b, z))
+                    pok = bn.g1_add(pok, bn.g1_mul(sb, z))
+                cval = (_poseidon([0, 0]) if d_pt is None
+                        else _poseidon([d_pt[0] % MOD, d_pt[1] % MOD]))
+                self._commit_result = (d_pt, pok, cval)
+        c = self._internal(cval)
+        self.commitment = {"wires": wire_ids,
+                           "challenge": next(iter(c.terms))}
+        for i, fn in enumerate(self._post_commit):
+            fn(c, i)
 
     # -- satisfiability -------------------------------------------------------
 

@@ -3,13 +3,17 @@
 The in-circuit Poseidon emits R1CS constraints for exactly the same function
 as crypto.poseidon_ref (same Grain constants, digest = state[1], same
 chunking rule) — in this framework "native" and "in-circuit" Poseidon are
-one spec with two backends (reference C2/C3 in SURVEY.md §2.1).
+one spec with two backends (reference C2/C3 in SURVEY.md §2.1).  The
+permutation gadget uses the sparse-MDS optimized form
+(crypto/poseidon_opt.py) so compile cost is O(t·r_p²) instead of the naive
+O(t²·r_p²) symbolic mixing.
 
 Lookup tables implement the same API as the fork's logderivlookup
-(circuit/batch_create_user_circuit.go:112,154,284) with a one-hot mux
-encoding — sound under plain Groth16 with no commitment extension.  A logUp
-encoding (cheaper at production sizes, needs the Groth16 commitment scheme)
-is tracked in COMPAT.md.
+(circuit/batch_create_user_circuit.go:112,154,284) as a logUp
+(log-derivative) argument whose random challenge is bound to a Pedersen
+commitment over the transcript wires (cs.register_post_commit — the gnark
+bsb22 commitment analog the fork itself relies on).  O(1) constraints per
+query, zero transcript-hash constraints.
 """
 
 from __future__ import annotations
@@ -18,31 +22,105 @@ from typing import List
 
 from ..crypto.bn254 import R as MOD
 from ..crypto import poseidon_params as pp
+from ..crypto import poseidon_opt as popt
 from ..crypto.poseidon_ref import MAX_INPUTS, OUTPUT_INDEX
 from .cs import LC, ConstraintSystem, VarLike, _as_lc
 
 
 def _permute_gadget(cs: ConstraintSystem, state: List[LC]) -> List[LC]:
+    """Optimized-form Poseidon permutation gadget (sparse-MDS factorization,
+    crypto/poseidon_opt.py — same transformation circomlib/neptune use).
+
+    The naive gadget did a dense t x t symbolic MDS mix per partial round;
+    with LCs growing a term per round that is O(t^2 r_p^2) dict work and
+    dominated compile time (>95% of a 6-minute tiny-tier compile).  The
+    sparse form does ONE dense dot per partial round and a single-term
+    in-place update of the other lanes: O(t r_p^2) total, with identical
+    algebra (oracle-verified by tests/test_poseidon_opt.py + circuit
+    parity tests)."""
     t = len(state)
-    consts, mds = pp.generate_params(t)
+    p = popt.opt_params(t)
     r_p = pp.partial_rounds(t)
     half = pp.R_FULL // 2
-    ci = 0
-    for rnd in range(pp.R_FULL + r_p):
-        state = [cs.add(state[i], consts[ci + i]) for i in range(t)]
-        ci += t
-        full = rnd < half or rnd >= half + r_p
-        idxs = range(t) if full else (0,)
-        for i in idxs:
-            x = state[i]
-            x2 = cs.mul(x, x)
-            x4 = cs.mul(x2, x2)
-            state[i] = cs.mul(x4, x)
-        state = [
-            cs.add(*[cs.scale(state[j], mds[i][j]) for j in range(t)])
-            for i in range(t)
-        ]
-    return state
+    mds = p["mds"]
+
+    def add_const(lcs, consts):
+        return [LC(dict(lc.terms), lc.const + c)
+                for lc, c in zip(lcs, consts)]
+
+    def sbox(lc):
+        x2 = cs.mul(lc, lc)
+        x4 = cs.mul(x2, x2)
+        return cs.mul(x4, lc)
+
+    def mix(mat, lcs):
+        outs = []
+        for i in range(t):
+            terms: dict = {}
+            const = 0
+            row = mat[i]
+            for j in range(t):
+                m = row[j]
+                if not m:
+                    continue
+                lc = lcs[j]
+                const += m * lc.const
+                for var, c in lc.terms.items():
+                    nc = (terms.get(var, 0) + m * c) % MOD
+                    if nc:
+                        terms[var] = nc
+                    elif var in terms:
+                        del terms[var]
+            outs.append(LC(terms, const % MOD))
+        return outs
+
+    x = add_const(state, p["c_init"])
+    # first half full rounds
+    for r in range(half):
+        x = [sbox(v) for v in x]
+        x = mix(mds, x)
+        if r < half - 1:
+            x = add_const(x, p["c_full"][r])
+        else:
+            x[0] = LC(dict(x[0].terms), x[0].const + p["d_partial"][0])
+    # partial chain (sparse rounds)
+    for i in range(r_p):
+        y = sbox(x[0])                       # single-wire LC, coeff 1
+        if i < r_p - 1:
+            m00, v, w_hat = p["sparse"][i]
+            (yvar, yco), = y.terms.items()
+            # new lane 0 from OLD lanes (one dense dot)
+            terms = {yvar: (yco * m00) % MOD}
+            const = y.const * m00
+            for j, vj in enumerate(v):
+                lc = x[j + 1]
+                const += vj * lc.const
+                for var, c in lc.terms.items():
+                    nc = (terms.get(var, 0) + vj * c) % MOD
+                    if nc:
+                        terms[var] = nc
+                    elif var in terms:
+                        del terms[var]
+            # other lanes += w_hat * y  (we own these dicts: in-place)
+            for j in range(1, t):
+                xt = x[j].terms
+                nc = (xt.get(yvar, 0) + w_hat[j - 1] * yco) % MOD
+                if nc:
+                    xt[yvar] = nc
+                elif yvar in xt:
+                    del xt[yvar]
+            x[0] = LC(terms, (const + p["d_partial"][i + 1]) % MOD)
+        else:
+            x[0] = y
+            x = mix(p["dense_last"], x)
+            x = add_const(x, p["c_resume"])
+    # second half full rounds
+    for r in range(half):
+        x = [sbox(v) for v in x]
+        x = mix(mds, x)
+        if r < half - 1:
+            x = add_const(x, p["c_full_2nd"][r])
+    return x
 
 
 def poseidon_gadget(cs: ConstraintSystem, inputs: List[VarLike]) -> LC:
@@ -71,22 +149,24 @@ class LookupTable:
     logUp (log-derivative) argument in plain R1CS.
 
     The fork's table (circuit/batch_create_user_circuit.go:112,154,284)
-    gets its random challenge from the Groth16 commitment extension; here
-    the challenges are derived IN-CIRCUIT by Poseidon over the full
-    transcript (table entries, query indices, query outputs, and the
-    prover-chosen multiplicities) — the same Fiat-Shamir-in-circuit pattern
-    the reference itself uses for its RLC subset check
-    (batch_create_user_circuit.go:275-307).  Including the multiplicities
-    in the hash is what stops an adaptive prover from solving the single
-    linear relation for m after seeing α.
+    gets its random challenge from the Groth16 commitment extension; since
+    round 3 so does this one: the transcript wires (non-constant entries,
+    query indices, query outputs, prover-chosen multiplicities) join the
+    circuit's single Pedersen commitment, and the challenge wire is
+    c = H(D) recomputed by the verifier (groth16.commitment_challenge).
+    Per-table independence comes from alpha = H(c, table_index).  Round 2
+    hashed the whole transcript in-circuit instead — correct at test sizes
+    but O(41) constraints per transcript element, which alone would blow
+    the 2^26 budget at production scale (~10^6 transcript elements).
 
     Identity enforced (α, β = challenges; row keys i + β·t_i; query keys
     q_j + β·out_j):
 
         Σ_i  m_i / (α − i − β·t_i)  ==  Σ_j  1 / (α − q_j − β·out_j)
 
-    at ~2 constraints per entry + 2 per query + one Poseidon chain, versus
-    O(|table|) per query for the one-hot encoding it replaces.
+    at ~2 constraints per entry + 2 per query + two Poseidon perms per
+    table, versus O(|table|) per query for the one-hot encoding it
+    replaced in round 1.
     """
 
     def __init__(self, cs: ConstraintSystem):
@@ -126,6 +206,15 @@ class LookupTable:
         return outs
 
     def _finalize(self) -> None:
+        """Phase 1: materialize multiplicities and register the transcript
+        wires for the Pedersen commitment; the challenge-dependent sum
+        constraints are emitted in phase 2 (_emit_argument) once the ONE
+        circuit-wide challenge wire exists.  This mirrors the fork's
+        logderivlookup, whose challenge comes from the Groth16 bsb22
+        commitment (gnark std/lookup/logderivlookup + api Commit) instead
+        of an in-circuit hash — at production sizes an in-circuit
+        Fiat-Shamir over the ~10^6-element transcript would alone blow the
+        2^26 constraint budget."""
         if self._finalized or not self.q_idx:
             self._finalized = True
             return
@@ -140,28 +229,38 @@ class LookupTable:
                     m[idx] += 1
             return m
 
-        ms = cs.new_hint(mult_hint, T, *self.q_idx)
+        self.ms = cs.new_hint(mult_hint, T, *self.q_idx)
+        wires = [e for e in self.entries if not e.is_const()]
+        wires += self.q_idx + self.q_out + self.ms
+        cs.register_post_commit(wires, self._emit_argument)
 
-        transcript = self.entries + self.q_idx + self.q_out + ms
-        alpha = poseidon_gadget(cs, transcript)
+    def _emit_argument(self, c: LC, table_index: int) -> None:
+        """Phase 2: logUp sum identity under challenges derived from the
+        commitment challenge c (alpha = H(c, table_index), beta = H(alpha)
+        — per-table independence from one commitment)."""
+        cs = self.cs
+        ms = self.ms
+        alpha = poseidon_gadget(cs, [c, table_index])
         beta = poseidon_gadget(cs, [alpha])
 
         def inv_hint(ins):
             num, den = ins
             return [num * pow(den, MOD - 2, MOD) % MOD if den else 0]
 
-        lhs = LC()
+        lhs_terms: dict = {}
         for i, t in enumerate(self.entries):
             key = cs.add(cs.mul(beta, t), i)
             d = cs.sub(alpha, key)
             (v,) = cs.new_hint(inv_hint, 1, ms[i], d)
             cs.assert_product(v, d, ms[i])
-            lhs = cs.add(lhs, v)
-        rhs = LC()
+            (vv, vc), = v.terms.items()
+            lhs_terms[vv] = lhs_terms.get(vv, 0) + vc
+        rhs_terms: dict = {}
         for q, o in zip(self.q_idx, self.q_out):
             key = cs.add(cs.mul(beta, o), q)
             d = cs.sub(alpha, key)
             (u,) = cs.new_hint(inv_hint, 1, LC(const=1), d)
             cs.assert_product(u, d, LC(const=1))
-            rhs = cs.add(rhs, u)
-        cs.assert_is_equal(lhs, rhs)
+            (uv, uc), = u.terms.items()
+            rhs_terms[uv] = rhs_terms.get(uv, 0) + uc
+        cs.assert_is_equal(LC(lhs_terms), LC(rhs_terms))

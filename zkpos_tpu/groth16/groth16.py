@@ -46,6 +46,13 @@ class ProvingKey:
     b_g2: List[Optional[tuple]]          # [B_i(τ)]₂ per wire
     num_public: int = 1
     domain_size: int = 0
+    # Pedersen-commitment key (gnark bsb22 analog): bases for the committed
+    # wires in cs.commitment["wires"] order, plus sigma-scaled bases for
+    # the proof of knowledge.  None when the circuit has no commitment.
+    commit_wires: Optional[List[int]] = None
+    challenge_wire: Optional[int] = None
+    ck_bases: Optional[List[tuple]] = None
+    ck_sigma_bases: Optional[List[tuple]] = None
 
 
 @dataclass
@@ -56,6 +63,10 @@ class VerifyingKey:
     delta_g2: tuple
     k_gamma_g1: List[Optional[tuple]]    # [(βA_i+αB_i+C_i)/γ]₁ public wires
     num_public: int = 1
+    # commitment verification data: Kγ base of the challenge wire + [σ]₂
+    # for the PoK check e(pok, G₂) == e(D, σG₂)
+    kc_g1: Optional[tuple] = None
+    sigma_g2: Optional[tuple] = None
 
 
 @dataclass
@@ -63,6 +74,8 @@ class Proof:
     ar: tuple
     bs: tuple       # G2
     krs: tuple
+    d: Optional[tuple] = None        # Pedersen commitment over committed wires
+    pok: Optional[tuple] = None      # σ-scaled proof of knowledge for d
 
 
 def _next_pow2(n: int) -> int:
@@ -146,7 +159,24 @@ def setup(cs: ConstraintSystem, rng=None) -> Tuple[ProvingKey, VerifyingKey]:
 
     k = [(beta * A[i] + alpha * B[i] + Cv[i]) % MOD for i in range(nv)]
     k_gamma = [k[i] * gamma_inv % MOD for i in range(npub)]
-    k_delta = [k[i] * delta_inv % MOD for i in range(npub, nv)]
+
+    # Pedersen-commitment layout (gnark bsb22 analog): committed wires and
+    # the challenge wire move from the δ column to the γ column — their
+    # contribution enters verification through D (and c·Kγ_c) instead of C.
+    commit = cs.commitment
+    commit_wires: List[int] = commit["wires"] if commit else []
+    challenge_wire = commit["challenge"] if commit else None
+    gamma_extra = set(commit_wires)
+    if challenge_wire is not None:
+        gamma_extra.add(challenge_wire)
+    k_delta = [0 if i in gamma_extra else k[i] * delta_inv % MOD
+               for i in range(npub, nv)]
+    ck_scalars = [k[i] * gamma_inv % MOD for i in commit_wires]
+    sigma = rand() if commit else None
+    ck_sigma_scalars = [s * sigma % MOD for s in ck_scalars] if commit else []
+    kc_scalar = (k[challenge_wire] * gamma_inv % MOD
+                 if challenge_wire is not None else None)
+
     # [τ^i Z(τ)/δ]
     z_scalars = []
     t_pow = 1
@@ -160,6 +190,9 @@ def setup(cs: ConstraintSystem, rng=None) -> Tuple[ProvingKey, VerifyingKey]:
     z_g1 = _fixed_base_g1(z_scalars)
     k_gamma_g1 = _fixed_base_g1(k_gamma)
     b_g2 = _fixed_base_g2(B)
+    ck_bases = _fixed_base_g1(ck_scalars) if commit else None
+    ck_sigma_bases = _fixed_base_g1(ck_sigma_scalars) if commit else None
+    kc_g1 = _fixed_base_g1([kc_scalar])[0] if commit else None
 
     pk = ProvingKey(
         alpha_g1=bn.g1_mul(bn.G1_GEN, alpha),
@@ -168,13 +201,18 @@ def setup(cs: ConstraintSystem, rng=None) -> Tuple[ProvingKey, VerifyingKey]:
         a_g1=a_g1, b1_g1=b1_g1, k_g1=k_g1, z_g1=z_g1,
         beta_g2=bn.g2_mul(bn.G2_GEN, beta),
         delta_g2=bn.g2_mul(bn.G2_GEN, delta),
-        b_g2=b_g2, num_public=npub, domain_size=d)
+        b_g2=b_g2, num_public=npub, domain_size=d,
+        commit_wires=commit_wires if commit else None,
+        challenge_wire=challenge_wire,
+        ck_bases=ck_bases, ck_sigma_bases=ck_sigma_bases)
     vk = VerifyingKey(
         alpha_g1=pk.alpha_g1,
         beta_g2=pk.beta_g2,
         gamma_g2=bn.g2_mul(bn.G2_GEN, gamma),
         delta_g2=pk.delta_g2,
-        k_gamma_g1=k_gamma_g1, num_public=npub)
+        k_gamma_g1=k_gamma_g1, num_public=npub,
+        kc_g1=kc_g1,
+        sigma_g2=bn.g2_mul(bn.G2_GEN, sigma) if commit else None)
     return pk, vk
 
 
@@ -234,6 +272,9 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
     NTT, four MSMs on device."""
     if not cs.solve:
         raise ValueError("prove requires a solved constraint system")
+    if pk.commit_wires is not None and cs._commit_key is None:
+        cs.set_commitment_key({"bases": pk.ck_bases,
+                               "sigma_bases": pk.ck_sigma_bases})
     z = cs.witness_vector()
     rand = rng or (lambda: secrets.randbelow(MOD))
     r, s = rand(), rand()
@@ -261,18 +302,49 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
     krs = bn.g1_add(krs, bn.g1_mul(ar, s))
     krs = bn.g1_add(krs, bn.g1_mul(b1, r))
     krs = bn.g1_add(krs, bn.g1_neg(bn.g1_mul(pk.delta_g1, r * s % MOD)))
-    return Proof(ar=ar, bs=bs, krs=krs)
+    d_pt = pok = None
+    if pk.commit_wires is not None:
+        if cs._commit_result is None:
+            raise RuntimeError("commitment circuit solved without key")
+        d_pt, pok, _cval = cs._commit_result
+    return Proof(ar=ar, bs=bs, krs=krs, d=d_pt, pok=pok)
+
+
+def commitment_challenge(d_pt) -> int:
+    """Challenge value bound to a commitment point (prover and verifier
+    derive it identically; the gnark analog hashes the marshalled point
+    with a hash-to-field — here Poseidon over the affine coordinates)."""
+    from ..crypto.poseidon_ref import poseidon as _poseidon
+    if d_pt is None:
+        return _poseidon([0, 0])
+    return _poseidon([d_pt[0] % MOD, d_pt[1] % MOD])
 
 
 def verify(proof: Proof, vk: VerifyingKey, public_inputs: List[int]) -> bool:
     """groth16.Verify (verifier main.go:284): 3-pairing check on the host
-    (~ms; matches reference scale)."""
+    (~ms; matches reference scale).  Circuits with a Pedersen commitment
+    add the D term on the γ side plus a 2-pairing PoK check
+    e(pok, G₂) == e(D, σG₂) (gnark bsb22 analog)."""
     z_pub = [1] + [v % MOD for v in public_inputs]
     if len(z_pub) != vk.num_public:
         return False
     acc = None
     for p, s in zip(vk.k_gamma_g1, z_pub):
         acc = bn.g1_add(acc, bn.g1_mul(p, s))
+    if vk.kc_g1 is not None:
+        if proof.pok is None and proof.d is not None:
+            return False
+        c = commitment_challenge(proof.d)
+        acc = bn.g1_add(acc, bn.g1_mul(vk.kc_g1, c))
+        acc = bn.g1_add(acc, proof.d)
+        # proof of knowledge: D must lie in the span of the committed bases
+        if proof.d is not None:
+            pok_ok = bn.multi_pairing([
+                (proof.pok, bn.G2_GEN),
+                (bn.g1_neg(proof.d), vk.sigma_g2),
+            ]) == bn.Fp12.ONE
+            if not pok_ok:
+                return False
     lhs = bn.multi_pairing([
         (proof.ar, proof.bs),
         (bn.g1_neg(acc), vk.gamma_g2),

@@ -8,8 +8,10 @@ G1: 32 bytes (X).  G2: 64 bytes (X.A1 || X.A0).
 
 Proof layout (gnark groth16 bn254 WriteTo order): Ar(G1) | Bs(G2) | Krs(G1)
 | uint32 #commitments | commitments... | commitmentPok(G1).
-VK layout: Alpha(G1) | Beta(G1) | Beta(G2) | Delta(G1) | Delta(G2) |
-Gamma(G2) | uint32 #K | K points.
+VK layout (gnark marshal.go order): Alpha(G1) | Beta(G1) | Beta(G2) |
+Gamma(G2) | Delta(G1) | Delta(G2) | uint32 #K | K points.  (Round 2 wrote
+delta before gamma — wrong vs gnark's documented
+[α]1,[β]1,[β]2,[γ]2,[δ]1,[δ]2 order; fixed round 3, frozen-vector tested.)
 
 NOTE: the byte layouts were reconstructed from the public gnark source
 conventions and cannot be byte-tested offline (see COMPAT.md); the field
@@ -127,8 +129,14 @@ def proof_to_bytes(proof) -> bytes:
     out = g1_to_bytes(proof.ar)
     out += g2_to_bytes(proof.bs)
     out += g1_to_bytes(proof.krs)
-    out += struct.pack(">I", 0)          # no commitments (plain circuits)
-    out += g1_to_bytes(None)             # commitment PoK
+    d = getattr(proof, "d", None)
+    if d is None and getattr(proof, "pok", None) is None:
+        out += struct.pack(">I", 0)      # no commitments (plain circuits)
+        out += g1_to_bytes(None)         # commitment PoK
+    else:
+        out += struct.pack(">I", 1)
+        out += g1_to_bytes(d)
+        out += g1_to_bytes(proof.pok)
     return out
 
 
@@ -137,7 +145,14 @@ def proof_from_bytes(data: bytes):
     ar = g1_from_bytes(data[0:32])
     bs = g2_from_bytes(data[32:96])
     krs = g1_from_bytes(data[96:128])
-    return Proof(ar=ar, bs=bs, krs=krs)
+    (ncomm,) = struct.unpack(">I", data[128:132])
+    d = pok = None
+    if ncomm:
+        if ncomm != 1:
+            raise ValueError("only single-commitment proofs supported")
+        d = g1_from_bytes(data[132:164])
+        pok = g1_from_bytes(data[164:196])
+    return Proof(ar=ar, bs=bs, krs=krs, d=d, pok=pok)
 
 
 def proof_to_base64(proof) -> str:
@@ -149,14 +164,15 @@ def proof_from_base64(s: str):
 
 
 def vk_to_bytes(vk) -> bytes:
-    # beta_g1 is not part of our VerifyingKey (not needed to verify);
-    # emit identity to keep the documented gnark field slots.
+    # gnark order: [alpha]1 [beta]1 [beta]2 [gamma]2 [delta]1 [delta]2 #K K
+    # beta_g1/delta_g1 are not part of our VerifyingKey (not needed to
+    # verify); emit identity to keep the gnark field slots.
     out = g1_to_bytes(vk.alpha_g1)
-    out += g1_to_bytes(None)
+    out += g1_to_bytes(None)             # beta_g1 slot
     out += g2_to_bytes(vk.beta_g2)
+    out += g2_to_bytes(vk.gamma_g2)
     out += g1_to_bytes(None)             # delta_g1 slot
     out += g2_to_bytes(vk.delta_g2)
-    out += g2_to_bytes(vk.gamma_g2)
     out += struct.pack(">I", len(vk.k_gamma_g1))
     for p in vk.k_gamma_g1:
         out += g1_to_bytes(p)
@@ -169,9 +185,9 @@ def vk_from_bytes(data: bytes):
     alpha = g1_from_bytes(data[off:off + 32]); off += 32
     off += 32                                   # beta_g1 slot
     beta2 = g2_from_bytes(data[off:off + 64]); off += 64
+    gamma2 = g2_from_bytes(data[off:off + 64]); off += 64
     off += 32                                   # delta_g1 slot
     delta2 = g2_from_bytes(data[off:off + 64]); off += 64
-    gamma2 = g2_from_bytes(data[off:off + 64]); off += 64
     (n,) = struct.unpack(">I", data[off:off + 4]); off += 4
     k = []
     for _ in range(n):

@@ -23,10 +23,13 @@ def key_file_names(prefix: str, assets: int, batch: int):
     return base + ".pk", base + ".vk", base + ".r1cs"
 
 
-def compile_tier(assets: int, batch: int) -> ConstraintSystem:
-    """frontend.Compile equivalent (keygen main.go:30)."""
+def compile_tier(assets: int, batch: int,
+                 range_bits: int = 8) -> ConstraintSystem:
+    """frontend.Compile equivalent (keygen main.go:30).  range_bits sets
+    the shared lookup range-check limb width (16 at production scale:
+    fewer lookups per check; 8 for small test tiers: 256-entry table)."""
     shape = bcu.new_empty_assignment(assets, C.ASSET_COUNTS, batch)
-    cs = ConstraintSystem(solve=False)
+    cs = ConstraintSystem(solve=False, range_bits=range_bits)
     bcu.define(cs, shape)
     cs.finalize()   # flush deferred gadget constraints (logUp tables) so the
     # compiled system matches what prove() solves
@@ -61,6 +64,9 @@ def run(prefix: str, tiers=None, force: bool = False) -> None:
         print(f"keygen: setup done in {time.time()-t0:.1f}s")
         save_artifact(r1cs_f, {"num_vars": cs.num_vars,
                                "num_public": cs.num_public,
+                               "num_constraints": len(cs.constraints),
+                               "range_bits": cs.range_bits,
+                               "commitment": cs.commitment,
                                "constraints": cs.constraints})
         save_artifact(pk_f, pk)
         save_artifact(vk_f, vk)

@@ -75,9 +75,14 @@ class Prover:
         assets = self._assets_tier_of(wit)
         circuit_w = bcu.set_batch_create_user_circuit_witness(wit)
         r1cs_meta, pk, vk = self.load_snark_params_once(assets)
-        cs = ConstraintSystem(solve=True)
+        cs = ConstraintSystem(solve=True,
+                              range_bits=r1cs_meta.get("range_bits", 8))
         bcu.define(cs, circuit_w)
-        if len(cs.constraints) != len(r1cs_meta["constraints"]):
+        if pk.commit_wires is not None:
+            cs.set_commitment_key({"bases": pk.ck_bases,
+                                   "sigma_bases": pk.ck_sigma_bases})
+        cs.finalize()   # deferred gadget constraints, keyed commitment
+        if len(cs.constraints) != r1cs_meta["num_constraints"]:
             raise ValueError("constraint count mismatch vs keygen artifact")
         t0 = time.time()
         proof = g16.prove(cs, pk)
