@@ -52,6 +52,79 @@ class UnsatisfiedConstraint(Exception):
     pass
 
 
+class FlatConstraints:
+    """Compact R1CS storage: flat uint32 var-id/coeff-id arrays + a pooled
+    coefficient table.
+
+    The round-2 representation (python lists of (var, bigint) tuple lists)
+    costs ~2.5 KB/constraint — 160 GB at the 2^26 production tier.  This
+    layout is ~8 bytes/term (~45 B/constraint at the measured 5.5
+    terms/constraint): the full zkpor50_1380 system fits in ~3 GB.  Coeff
+    values are pooled (round constants/MDS entries repeat across every
+    Poseidon permutation), so the pool stays small.  Iteration yields the
+    legacy (A_terms, B_terms, C_terms) triples; vectorized consumers
+    (groth16/qap_device.py) read the arrays directly."""
+
+    __slots__ = ("vars", "coeffs", "lens", "pool", "_pool_idx")
+
+    def __init__(self):
+        from array import array
+        self.vars = array("I")
+        self.coeffs = array("I")
+        self.lens = array("I")          # 3 entries per constraint
+        self.pool: List[int] = [1]
+        self._pool_idx = {1: 0}
+
+    def _cid(self, c: int) -> int:
+        idx = self._pool_idx.get(c)
+        if idx is None:
+            idx = len(self.pool)
+            self.pool.append(c)
+            self._pool_idx[c] = idx
+        return idx
+
+    def _emit_lc(self, lc: "LC") -> None:
+        va, ca = self.vars, self.coeffs
+        n = 0
+        for v, c in lc.terms.items():
+            va.append(v)
+            ca.append(self._cid(c))
+            n += 1
+        if lc.const:
+            va.append(0)
+            ca.append(self._cid(lc.const))
+            n += 1
+        self.lens.append(n)
+
+    def append_lcs(self, a: "LC", b: "LC", c: "LC") -> None:
+        self._emit_lc(a)
+        self._emit_lc(b)
+        self._emit_lc(c)
+
+    def __len__(self) -> int:
+        return len(self.lens) // 3
+
+    def __iter__(self):
+        pool, va, ca = self.pool, self.vars, self.coeffs
+        off = 0
+        lens = self.lens
+        for i in range(0, len(lens), 3):
+            row = []
+            for k in range(3):
+                n = lens[i + k]
+                row.append([(va[j], pool[ca[j]])
+                            for j in range(off, off + n)])
+                off += n
+            yield tuple(row)
+
+    def __getstate__(self):
+        return (self.vars, self.coeffs, self.lens, self.pool)
+
+    def __setstate__(self, st):
+        self.vars, self.coeffs, self.lens, self.pool = st
+        self._pool_idx = {c: i for i, c in enumerate(self.pool)}
+
+
 class ConstraintSystem:
     def __init__(self, solve: bool = False, collect_violations: bool = False,
                  range_bits: int = 8):
@@ -61,8 +134,9 @@ class ConstraintSystem:
         self.num_vars = 1          # var 0 == 1
         self.num_public = 1        # includes the one-wire
         self.values: List[int] = [1]   # populated in solve mode
-        # constraints: (A_terms, B_terms, C_terms) with terms [(var, coeff)]
-        self.constraints: List[Tuple[list, list, list]] = []
+        # constraints: compact flat arrays; iterates as
+        # (A_terms, B_terms, C_terms) triples with terms [(var, coeff)]
+        self.constraints = FlatConstraints()
         self.hints: List[Tuple[Callable, List[LC], List[int]]] = []
         self._public_frozen = False
         self._finalizers: List[Callable] = []
@@ -127,8 +201,7 @@ class ConstraintSystem:
         return out
 
     def _emit(self, a: LC, b: LC, c: LC) -> None:
-        self.constraints.append(
-            (self._lc_terms(a), self._lc_terms(b), self._lc_terms(c)))
+        self.constraints.append_lcs(a, b, c)
 
     # -- arithmetic -----------------------------------------------------------
 

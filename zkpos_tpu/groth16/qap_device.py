@@ -41,18 +41,49 @@ def _matrix_arrays(cs, which: int):
         cache = {}
         cs._qap_dev_cache = cache
     if which not in cache:
-        rows, vars_, coeffs = [], [], []
-        for r, con in enumerate(cs.constraints):
-            for v, co in con[which]:
-                rows.append(r)
-                vars_.append(v)
-                coeffs.append((co * FR.r_mont) % MOD)
-        cache[which] = (
-            np.asarray(rows, dtype=np.int32),
-            np.asarray(vars_, dtype=np.int32),
-            FR.ints_to_digits(coeffs) if coeffs else
-            np.zeros((NDIGITS, 0), np.float32),
-        )
+        fc = cs.constraints
+        if hasattr(fc, "lens"):
+            # FlatConstraints fast path: ragged gather, no python per-term
+            # loop; coeff digits come from ONE digit table over the small
+            # coefficient pool.
+            lens = np.frombuffer(fc.lens, dtype=np.uint32).astype(np.int64)
+            va = np.frombuffer(fc.vars, dtype=np.uint32)
+            ca = np.frombuffer(fc.coeffs, dtype=np.uint32)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            sel = np.arange(which, len(lens), 3)
+            seg_starts = starts[sel]
+            seg_lens = lens[sel]
+            total = int(seg_lens.sum())
+            if total:
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(seg_lens)[:-1])), seg_lens)
+                offs = np.repeat(seg_starts, seg_lens) + intra
+                rows = np.repeat(np.arange(len(sel), dtype=np.int64),
+                                 seg_lens)
+                pool_mont = [(c * FR.r_mont) % MOD for c in fc.pool]
+                pool_dig = FR.ints_to_digits(pool_mont)     # (34, P)
+                cache[which] = (
+                    rows.astype(np.int32),
+                    va[offs].astype(np.int32),
+                    pool_dig[:, ca[offs]],
+                )
+            else:
+                cache[which] = (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                                np.zeros((NDIGITS, 0), np.float32))
+        else:
+            rows, vars_, coeffs = [], [], []
+            for r, con in enumerate(cs.constraints):
+                for v, co in con[which]:
+                    rows.append(r)
+                    vars_.append(v)
+                    coeffs.append((co * FR.r_mont) % MOD)
+            cache[which] = (
+                np.asarray(rows, dtype=np.int32),
+                np.asarray(vars_, dtype=np.int32),
+                FR.ints_to_digits(coeffs) if coeffs else
+                np.zeros((NDIGITS, 0), np.float32),
+            )
     return cache[which]
 
 
