@@ -331,3 +331,273 @@ void zk_r1cs_check(const u64* a, const u64* b, const u64* c,
 }
 
 }  // extern "C"
+
+// ---- Pippenger MSM pass-plan scheduler --------------------------------------
+//
+// Replaces the per-pass numpy unique/argsort loop of ops/msm.py (the round-2
+// hot-path bottleneck: VERDICT r2 weak #3).  Given the scalars and window
+// size c, computes the ENTIRE grouped-reduction schedule in one call at
+// memory speed; the device then runs one fused dispatch per pass with no
+// host work in between (dispatches pipeline through JAX's async queue,
+// which matters on the ms-RTT axon tunnel).
+//
+// Buffer model: the device keeps ONE results buffer.  buf[0] is the
+// identity.  Pass 1 reads the base-point array: singleton buckets are
+// copied into buf[1..1+C) with one gather, multi-entry buckets fold into
+// buf[1+C..).  Every later pass reads and writes buf only, so
+// already-reduced buckets are never touched again (the round-2 planner
+// re-added every singleton through the identity on each pass: 8
+// full-width passes at 2^14 instead of one wide pass + a collapsing tail).
+
+#include <vector>
+
+namespace {
+
+struct MsmPass {
+    std::vector<int> idx;        // Rp x L fold gather indices
+    long long out_off;           // fold outputs -> buf[out_off ..)
+    long long rp;                // padded row count
+};
+
+struct MsmPlan {
+    std::vector<MsmPass> passes;
+    long long n_passes_a = 0;
+    std::vector<int> carry_idx;  // pass-1 singleton columns (base space)
+    long long carry_off = 1;     // -> buf[carry_off ..)
+    long long buf_size = 0;      // total buf columns incl. identity slot 0
+    std::vector<long long> fkeys;
+    std::vector<int> fidx;       // final buf positions, key-sorted
+};
+
+long long pow2ceil_ll(long long v) {
+    long long m = 1;
+    while (m < v) m <<= 1;
+    return m;
+}
+
+void group_starts(const std::vector<long long>& keys,
+                  std::vector<size_t>& gs) {
+    gs.clear();
+    size_t n = keys.size();
+    for (size_t i = 0; i < n;) {
+        size_t j = i;
+        while (j < n && keys[j] == keys[i]) ++j;
+        gs.push_back(i);
+        i = j;
+    }
+    gs.push_back(n);
+}
+
+// First pass over a base-resident stream: copies singletons into buf and
+// folds the rest.  Updates (keys, pos) to the post-pass stream (pos are
+// buf positions) and advances buf_next.
+void plan_first_pass(std::vector<long long>& keys, std::vector<int>& pos,
+                     MsmPlan* plan, int L, long long& buf_next) {
+    std::vector<size_t> gs;
+    group_starts(keys, gs);
+    size_t ng = gs.size() - 1;
+    long long C = 0, R = 0;
+    for (size_t g = 0; g < ng; ++g) {
+        long long cnt = (long long)(gs[g + 1] - gs[g]);
+        if (cnt == 1) ++C; else R += (cnt + L - 1) / L;
+    }
+    long long Rp = pow2ceil_ll(R < 8 ? 8 : R);
+    plan->carry_off = buf_next;
+    buf_next += pow2ceil_ll(C < 8 ? 8 : C);   // padded: the device writes
+    // a pow2-padded carry gather block in one dynamic_update_slice
+    MsmPass pass;
+    pass.rp = Rp;
+    pass.out_off = buf_next;
+    pass.idx.assign((size_t)Rp * L, 0);
+    std::vector<long long> nkeys;
+    std::vector<int> npos;
+    nkeys.reserve(ng);
+    npos.reserve(ng);
+    long long row = 0, carry = 0;
+    for (size_t g = 0; g < ng; ++g) {
+        long long cnt = (long long)(gs[g + 1] - gs[g]);
+        if (cnt == 1) {
+            plan->carry_idx.push_back(pos[gs[g]]);
+            nkeys.push_back(keys[gs[g]]);
+            npos.push_back((int)(plan->carry_off + carry));
+            ++carry;
+        } else {
+            long long rows_g = (cnt + L - 1) / L;
+            for (long long k = 0; k < cnt; ++k)
+                pass.idx[(size_t)(row + k / L) * L + (k % L)] =
+                    pos[gs[g] + k];
+            for (long long k = 0; k < rows_g; ++k) {
+                nkeys.push_back(keys[gs[g]]);
+                npos.push_back((int)(pass.out_off + row + k));
+            }
+            row += rows_g;
+        }
+    }
+    buf_next += Rp;
+    plan->passes.push_back(std::move(pass));
+    keys.swap(nkeys);
+    pos.swap(npos);
+}
+
+// Buf-resident reduction passes until all keys unique.  Singletons keep
+// their existing buf position (no copies).
+void plan_reduce(std::vector<long long>& keys, std::vector<int>& pos,
+                 MsmPlan* plan, int L, long long& buf_next) {
+    for (;;) {
+        std::vector<size_t> gs;
+        group_starts(keys, gs);
+        size_t ng = gs.size() - 1;
+        if (ng == keys.size()) return;
+        long long R = 0;
+        for (size_t g = 0; g < ng; ++g) {
+            long long cnt = (long long)(gs[g + 1] - gs[g]);
+            if (cnt > 1) R += (cnt + L - 1) / L;
+        }
+        long long Rp = pow2ceil_ll(R < 8 ? 8 : R);
+        MsmPass pass;
+        pass.rp = Rp;
+        pass.out_off = buf_next;
+        pass.idx.assign((size_t)Rp * L, 0);
+        std::vector<long long> nkeys;
+        std::vector<int> npos;
+        nkeys.reserve(ng);
+        npos.reserve(ng);
+        long long row = 0;
+        for (size_t g = 0; g < ng; ++g) {
+            long long cnt = (long long)(gs[g + 1] - gs[g]);
+            if (cnt == 1) {
+                nkeys.push_back(keys[gs[g]]);
+                npos.push_back(pos[gs[g]]);
+            } else {
+                long long rows_g = (cnt + L - 1) / L;
+                for (long long k = 0; k < cnt; ++k)
+                    pass.idx[(size_t)(row + k / L) * L + (k % L)] =
+                        pos[gs[g] + k];
+                for (long long k = 0; k < rows_g; ++k) {
+                    nkeys.push_back(keys[gs[g]]);
+                    npos.push_back((int)(pass.out_off + row + k));
+                }
+                row += rows_g;
+            }
+        }
+        buf_next += Rp;
+        plan->passes.push_back(std::move(pass));
+        keys.swap(nkeys);
+        pos.swap(npos);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// scalars: n*4 u64 LE limbs (reduced mod r).  Returns an opaque handle.
+// out_meta: [n_passes, n_passes_a, total_idx_len, n_final, buf_size,
+//            n_carry, carry_off]
+void* zk_msm_plan(const u64* scalars, long long n, int c, int L,
+                  long long* out_meta) {
+    MsmPlan* plan = new MsmPlan();
+    int W = (254 + c - 1) / c;
+    long long mask = (1LL << c) - 1;
+    int n_keys = W << c;
+    std::vector<long long> cnt((size_t)n_keys + 1, 0);
+    std::vector<int> digits((size_t)W * n);
+    for (long long i = 0; i < n; ++i) {
+        const u64* s = scalars + 4 * i;
+        for (int w = 0; w < W; ++w) {
+            int lo = w * c;
+            int limb = lo >> 6, sh = lo & 63;
+            u64 v = s[limb] >> sh;
+            if (sh && limb < 3) v |= s[limb + 1] << (64 - sh);
+            int d = (int)(v & (u64)mask);
+            digits[(size_t)w * n + i] = d;
+            if (d) cnt[(size_t)((w << c) | d) + 1]++;
+        }
+    }
+    for (int k = 0; k < n_keys; ++k) cnt[k + 1] += cnt[k];
+    long long total = cnt[n_keys];
+    std::vector<long long> keys((size_t)total);
+    std::vector<int> pos((size_t)total);
+    std::vector<long long> fill(cnt.begin(), cnt.end() - 1);
+    for (int w = 0; w < W; ++w) {
+        for (long long i = 0; i < n; ++i) {
+            int d = digits[(size_t)w * n + i];
+            if (!d) continue;
+            long long key = ((long long)w << c) | d;
+            long long p = fill[(size_t)key]++;
+            keys[(size_t)p] = key;
+            pos[(size_t)p] = (int)(i + 1);      // base col 0 is the identity
+        }
+    }
+    long long buf_next = 1;                     // buf[0] = identity
+    if (total) {
+        plan_first_pass(keys, pos, plan, L, buf_next);
+        plan_reduce(keys, pos, plan, L, buf_next);
+    }
+    plan->n_passes_a = (long long)plan->passes.size();
+    // stage B: one entry per set bit of each bucket index, key2 = w*c + t
+    std::vector<long long> keys2;
+    std::vector<int> pos2;
+    for (int t = 0; t < c; ++t) {
+        for (size_t i = 0; i < keys.size(); ++i) {
+            long long w = keys[i] >> c, b = keys[i] & mask;
+            if ((b >> t) & 1) {
+                keys2.push_back(w * c + t);
+                pos2.push_back(pos[i]);
+            }
+        }
+    }
+    {   // stable counting sort by key
+        int nk2 = W * c;
+        std::vector<long long> c2((size_t)nk2 + 1, 0);
+        for (long long k : keys2) c2[(size_t)k + 1]++;
+        for (int k = 0; k < nk2; ++k) c2[k + 1] += c2[k];
+        std::vector<long long> ks(keys2.size());
+        std::vector<int> ps(pos2.size());
+        std::vector<long long> f2(c2.begin(), c2.end() - 1);
+        for (size_t i = 0; i < keys2.size(); ++i) {
+            long long p = f2[(size_t)keys2[i]]++;
+            ks[(size_t)p] = keys2[i];
+            ps[(size_t)p] = pos2[i];
+        }
+        keys2.swap(ks);
+        pos2.swap(ps);
+    }
+    plan_reduce(keys2, pos2, plan, L, buf_next);
+    plan->fkeys = keys2;
+    plan->fidx = pos2;
+    plan->buf_size = buf_next;
+    long long idx_len = 0;
+    for (auto& ps : plan->passes) idx_len += (long long)ps.idx.size();
+    out_meta[0] = (long long)plan->passes.size();
+    out_meta[1] = plan->n_passes_a;
+    out_meta[2] = idx_len;
+    out_meta[3] = (long long)plan->fkeys.size();
+    out_meta[4] = plan->buf_size;
+    out_meta[5] = (long long)plan->carry_idx.size();
+    out_meta[6] = plan->carry_off;
+    return plan;
+}
+
+// pass_meta: per pass [rp, out_off] pairs.
+void zk_msm_plan_fill(void* handle, long long* pass_meta, int* idx_out,
+                      int* carry_out, long long* fkeys_out, int* fidx_out) {
+    MsmPlan* plan = (MsmPlan*)handle;
+    size_t off = 0;
+    for (size_t p = 0; p < plan->passes.size(); ++p) {
+        pass_meta[2 * p] = plan->passes[p].rp;
+        pass_meta[2 * p + 1] = plan->passes[p].out_off;
+        std::memcpy(idx_out + off, plan->passes[p].idx.data(),
+                    plan->passes[p].idx.size() * sizeof(int));
+        off += plan->passes[p].idx.size();
+    }
+    std::memcpy(carry_out, plan->carry_idx.data(),
+                plan->carry_idx.size() * sizeof(int));
+    std::memcpy(fkeys_out, plan->fkeys.data(),
+                plan->fkeys.size() * sizeof(long long));
+    std::memcpy(fidx_out, plan->fidx.data(),
+                plan->fidx.size() * sizeof(int));
+    delete plan;
+}
+
+}  // extern "C"

@@ -25,7 +25,7 @@ prover.go:269, keygen main.go:42) with a TPU-shaped bucket method:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..crypto import bn254 as bn
 from . import ec_f32 as ecf
 
-LCAP = 4           # matrix row width of one grouped-reduction pass
+LCAP = 4           # row width of the numpy-fallback grouped reduction
+PLAN_L = 4         # row width of the native-planned passes (log4 collapse)
 _SAFE_BOUND = 10.0  # stationary lazy bound of fold coordinates
 
 
@@ -173,6 +174,109 @@ def _windows_of(scalars, c: int) -> np.ndarray:
     return out
 
 
+def _native_plan(scalars, c: int):
+    """Full pass plan from the C++ scheduler (native/zkpos_native.cpp
+    zk_msm_plan): one call computes every grouped-reduction pass's gather
+    matrix and the results-buffer layout — the round-2 per-pass numpy
+    unique/argsort loop is gone and device dispatches pipeline
+    back-to-back.  Returns None if the native library is unavailable
+    (numpy fallback below)."""
+    import ctypes
+    from ..utils.native import lib
+    L = lib()
+    if L is None:
+        return None
+    n = len(scalars)
+    buf = b"".join(int(s % bn.R).to_bytes(32, "little") for s in scalars)
+    sc = np.frombuffer(buf, dtype=np.uint64).reshape(n, 4)
+    meta = np.zeros(7, dtype=np.int64)
+    L.zk_msm_plan.restype = ctypes.c_void_p
+    handle = L.zk_msm_plan(
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_longlong(n), ctypes.c_int(c), ctypes.c_int(PLAN_L),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    (n_passes, n_passes_a, idx_len, n_final,
+     buf_size, n_carry, carry_off) = (int(v) for v in meta)
+    pass_meta = np.zeros(max(2 * n_passes, 1), dtype=np.int64)
+    idx_flat = np.zeros(max(idx_len, 1), dtype=np.int32)
+    carry = np.zeros(max(n_carry, 1), dtype=np.int32)
+    fkeys = np.zeros(max(n_final, 1), dtype=np.int64)
+    fidx = np.zeros(max(n_final, 1), dtype=np.int32)
+    L.zk_msm_plan_fill(
+        ctypes.c_void_p(handle),
+        pass_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        idx_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        carry.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        fkeys.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    passes = []
+    off = 0
+    for p in range(n_passes):
+        rp = int(pass_meta[2 * p])
+        passes.append((idx_flat[off:off + rp * PLAN_L].reshape(rp, PLAN_L),
+                       int(pass_meta[2 * p + 1])))
+        off += rp * PLAN_L
+    carry_p = np.zeros(_pow2ceil(max(n_carry, 8)), dtype=np.int32)
+    carry_p[:n_carry] = carry[:n_carry]
+    return {"passes": passes, "carry_idx": carry_p,
+            "carry_off": carry_off, "buf_size": buf_size,
+            "fkeys": fkeys[:n_final], "fidx": fidx[:n_final]}
+
+
+@lru_cache(maxsize=None)
+def _pass1_fn(curve: str):
+    """jit: the base->buf pass — fold multi-entry buckets + copy singleton
+    buckets, both written into the persistent results buffer."""
+    import math
+    folds = int(math.log2(PLAN_L))
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def run(base, buf, idx_a, idx_c, off_a, off_c):
+        flat = tuple(jnp.take(a, idx_a.reshape(-1), axis=1) for a in base)
+        for _ in range(folds):
+            flat = _device_add(curve,
+                               tuple(x[..., 0::2] for x in flat),
+                               tuple(x[..., 1::2] for x in flat))
+        carried = tuple(jnp.take(a, idx_c, axis=1) for a in base)
+        out = []
+        for b, f, cc in zip(buf, flat, carried):
+            b = jax.lax.dynamic_update_slice(b, cc, (0, off_c))
+            b = jax.lax.dynamic_update_slice(b, f, (0, off_a))
+            out.append(b)
+        return tuple(out)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _passk_fn(curve: str):
+    """jit: one buf-resident reduction pass (reads and writes buf only —
+    already-reduced buckets are never touched again)."""
+    import math
+    folds = int(math.log2(PLAN_L))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(buf, idx_a, off_a):
+        flat = tuple(jnp.take(a, idx_a.reshape(-1), axis=1) for a in buf)
+        for _ in range(folds):
+            flat = _device_add(curve,
+                               tuple(x[..., 0::2] for x in flat),
+                               tuple(x[..., 1::2] for x in flat))
+        return tuple(jax.lax.dynamic_update_slice(b, f, (0, off_a))
+                     for b, f in zip(buf, flat))
+
+    return run
+
+
+def _buf_init(curve: str, size: int):
+    """Zero results buffer with the identity at column 0."""
+    ids = _id_col(curve)
+    return tuple(
+        jnp.zeros((a.shape[0], size), jnp.float32).at[:, 0:1].set(
+            jnp.asarray(a))
+        for a in ids)
+
+
 def _msm(curve: str, points, scalars, c: Optional[int] = None,
          base=None):
     n = len(points)
@@ -182,40 +286,62 @@ def _msm(curve: str, points, scalars, c: Optional[int] = None,
         c = max(6, min(13, n.bit_length() - 3))
     base_arrs = base if base is not None else _to_device_padded(curve, points)
 
-    # global stream over all windows: key = w*2^c + bucket
-    win = _windows_of(scalars, c)
-    W = win.shape[0]
-    keys_all = (np.arange(W, dtype=np.int64)[:, None] << c) | win
-    idx_all = np.broadcast_to(np.arange(1, n + 1, dtype=np.int64),
-                              (W, n))
-    nz = (win != 0)
-    keys = keys_all[nz]
-    idx = idx_all[nz].astype(np.int32)
-    if len(keys) == 0:
-        return None
-    order = np.argsort(keys, kind="stable")
-    keys, idx = keys[order], idx[order]
+    plan = _native_plan(scalars, c)
+    if plan is not None:
+        fkeys, fidx = plan["fkeys"], plan["fidx"]
+        if len(fkeys) == 0:
+            return None
+        fn1 = _pass1_fn(curve)
+        fnk = _passk_fn(curve)
+        buf = _buf_init(curve, _pow2ceil(plan["buf_size"]))
+        first = True
+        # NOTE: idx matrices go in as raw numpy — the jit-argument
+        # transfer path is ~4.5x faster than device_put over the axon
+        # tunnel (measured 0.8s vs 3.7s for a 32MB index matrix)
+        for idx_a, out_off in plan["passes"]:
+            if first:
+                buf = fn1(base_arrs, buf, idx_a, plan["carry_idx"],
+                          jnp.int32(out_off), jnp.int32(plan["carry_off"]))
+                first = False
+            else:
+                buf = fnk(buf, idx_a, jnp.int32(out_off))
+        farrs = buf
+    else:
+        # numpy fallback (no native lib): schedule pass-by-pass on host
+        win = _windows_of(scalars, c)
+        W = win.shape[0]
+        keys_all = (np.arange(W, dtype=np.int64)[:, None] << c) | win
+        idx_all = np.broadcast_to(np.arange(1, n + 1, dtype=np.int64),
+                                  (W, n))
+        nz = (win != 0)
+        keys = keys_all[nz]
+        idx = idx_all[nz].astype(np.int32)
+        if len(keys) == 0:
+            return None
+        order = np.argsort(keys, kind="stable")
+        keys, idx = keys[order], idx[order]
 
-    # stage A: one point per (window, bucket)
-    skeys, sidx, sarrs = _grouped_reduce(curve, base_arrs, keys, idx)
+        # stage A: one point per (window, bucket)
+        skeys, sidx, sarrs = _grouped_reduce(curve, base_arrs, keys, idx)
 
-    # stage B: bucket fold by bits — re-stream every sum once per set bit,
-    # key2 = w*c + t
-    w_of = (skeys >> c).astype(np.int64)
-    b_of = skeys & ((1 << c) - 1)
-    k2, i2 = [], []
-    for t in range(c):
-        sel = (b_of >> t) & 1 == 1
-        k2.append(w_of[sel] * c + t)
-        i2.append(sidx[sel])
-    keys2 = np.concatenate(k2)
-    idx2 = np.concatenate(i2).astype(np.int32)
-    order = np.argsort(keys2, kind="stable")
-    fkeys, fidx, farrs = _grouped_reduce(curve, sarrs, keys2[order],
-                                         idx2[order])
+        # stage B: bucket fold by bits — re-stream every sum once per set
+        # bit, key2 = w*c + t
+        w_of = (skeys >> c).astype(np.int64)
+        b_of = skeys & ((1 << c) - 1)
+        k2, i2 = [], []
+        for t in range(c):
+            sel = (b_of >> t) & 1 == 1
+            k2.append(w_of[sel] * c + t)
+            i2.append(sidx[sel])
+        keys2 = np.concatenate(k2)
+        idx2 = np.concatenate(i2).astype(np.int32)
+        order = np.argsort(keys2, kind="stable")
+        fkeys, fidx, farrs = _grouped_reduce(curve, sarrs, keys2[order],
+                                             idx2[order])
 
     # single readback: gather final columns in key order
-    cols = _gather_jit()(farrs, jnp.asarray(fidx.astype(np.int32)))
+    cols = _gather_jit()(farrs, jnp.asarray(np.asarray(fidx,
+                                                       dtype=np.int32)))
     from_dev = ecf.g1_from_device if curve == "g1" else ecf.g2_from_device
     host_pts = from_dev(_wrap(curve, cols))
 
