@@ -1,0 +1,158 @@
+"""End-to-end keygen -> witness -> prove -> verify wall-clock measurement.
+
+Runs the REAL pipeline at an honestly-reported size: full depth-28 account
+tree, lookup range checks (16-bit limbs), logUp tier/asset tables with the
+Pedersen-commitment challenge, device MSMs + device H.  Prints one JSON
+line per phase plus a summary comparable to the reference's 62 s/batch on
+an m5.8xlarge (docs/updated_proof_of_solvency_to_mitigate_dummy_user_attack
+.md:199-201, tier 50:700 at 2^26 constraints).
+
+Usage: python scripts/prove_e2e.py [assets_universe] [tier_assets] [batch]
+Defaults: 100 500-style universe assets, tier 50, batch 16.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from zkpos_tpu.utils import constants as C          # noqa: E402
+
+UNIVERSE = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+TIER = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+C.configure(asset_counts=UNIVERSE)
+os.environ["ZKPOR_TEST_TIERS"] = f"{TIER}:{BATCH}"
+
+from zkpos_tpu.utils.types import (AccountAsset, AccountInfo,     # noqa: E402
+                                   CexAssetInfo, TierRatio)
+from zkpos_tpu.utils.commitments import (                          # noqa: E402
+    calculate_asset_value_for_collateral, calculate_precomputed_value,
+    padding_tier_ratios)
+from zkpos_tpu.witness import core as wcore                        # noqa: E402
+from zkpos_tpu.circuit.cs import ConstraintSystem                  # noqa: E402
+from zkpos_tpu.circuit import batch_create_user as bcu             # noqa: E402
+from zkpos_tpu.groth16 import groth16 as g16                       # noqa: E402
+from zkpos_tpu.services.keygen import compile_tier                 # noqa: E402
+
+E8 = 10 ** 8
+
+
+def phase(name, t0):
+    dt = time.time() - t0
+    print(json.dumps({"phase": name, "seconds": round(dt, 2)}), flush=True)
+    return dt
+
+
+def make_cex_assets():
+    out = []
+    for i in range(C.ASSET_COUNTS):
+        tiers = [TierRatio(boundary_value=10_000 * 10 ** 16, ratio=90),
+                 TierRatio(boundary_value=50_000 * 10 ** 16, ratio=70)]
+        calculate_precomputed_value(tiers)
+        out.append(CexAssetInfo(
+            symbol=f"tok{i}", index=i, base_price=(i + 1) * E8,
+            loan_ratios=padding_tier_ratios(list(tiers)),
+            margin_ratios=padding_tier_ratios(list(tiers)),
+            portfolio_margin_ratios=padding_tier_ratios(list(tiers))))
+    return out
+
+
+def make_accounts(cex, n_users, n_assets):
+    accounts = []
+    for u in range(n_users):
+        assets = []
+        te = td = tc = 0
+        for k in range(n_assets):
+            idx = (u + k * 3) % C.ASSET_COUNTS
+            eq = (10 + u + k) * E8
+            de = (1 + (u + k) % 3) * E8
+            lo = ma = pm = (2 + k % 4) * E8
+            assets.append(AccountAsset(index=idx, equity=eq, debt=de,
+                                       loan=lo, margin=ma,
+                                       portfolio_margin=pm))
+            price = cex[idx].base_price
+            te += eq * price
+            td += de * price
+            tc += calculate_asset_value_for_collateral(lo, ma, pm, cex[idx])
+        assert tc >= td
+        assets.sort(key=lambda a: a.index)
+        accounts.append(AccountInfo(account_id=b"", total_equity=te,
+                                    total_debt=td, total_collateral=tc,
+                                    assets=assets))
+    return accounts
+
+
+def main():
+    print(json.dumps({"config": {"universe": UNIVERSE, "tier": TIER,
+                                 "batch": BATCH,
+                                 "tree_depth": C.ACCOUNT_TREE_DEPTH}}),
+          flush=True)
+
+    t0 = time.time()
+    cs = compile_tier(TIER, BATCH, range_bits=16)
+    t_compile = phase("compile", t0)
+    n_cons = len(cs.constraints)
+    print(json.dumps({"constraints": n_cons, "vars": cs.num_vars}),
+          flush=True)
+
+    t0 = time.time()
+    pk, vk = g16.setup(cs)
+    t_setup = phase("setup", t0)
+    del cs
+
+    t0 = time.time()
+    cex = make_cex_assets()
+    accounts = make_accounts(cex, BATCH, min(TIER, 30))
+    by_tier, capacity = wcore.prepare_accounts({TIER: accounts})
+    tree = wcore.build_account_tree(by_tier, capacity)
+    wits = list(wcore.generate_batch_witnesses(tree, by_tier, cex))
+    assert len(wits) == 1
+    _, wit = wits[0]
+    wcore.densify_ops_assets(wit)
+    t_witness = phase("witness_pipeline", t0)
+
+    t0 = time.time()
+    w = bcu.set_batch_create_user_circuit_witness(wit)
+    scs = ConstraintSystem(solve=True, range_bits=16)
+    bcu.define(scs, w)
+    scs.set_commitment_key({"bases": pk.ck_bases,
+                            "sigma_bases": pk.ck_sigma_bases})
+    scs.finalize()
+    t_solve = phase("witness_solve", t0)
+    assert len(scs.constraints) == n_cons, \
+        f"{len(scs.constraints)} != {n_cons}"
+
+    t0 = time.time()
+    proof = g16.prove(scs, pk)
+    t_prove = phase("prove", t0)
+
+    t0 = time.time()
+    public = [scs.values[i] for i in range(1, scs.num_public)]
+    ok = g16.verify(proof, vk, public)
+    t_verify = phase("verify", t0)
+    assert ok, "verify failed"
+
+    print(json.dumps({
+        "metric": "batch_prove_seconds",
+        "value": round(t_prove, 2),
+        "constraints": n_cons,
+        "config": f"universe={UNIVERSE} tier={TIER}:{BATCH} depth=28",
+        "phases": {"compile": round(t_compile, 1),
+                   "setup": round(t_setup, 1),
+                   "witness_solve": round(t_solve, 1),
+                   "prove": round(t_prove, 1),
+                   "verify": round(t_verify, 2)},
+        "reference": "62 s/batch at 2^26 constraints (m5.8xlarge, "
+                     "docs/...dummy_user_attack.md:199-201)"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

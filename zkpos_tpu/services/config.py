@@ -29,6 +29,11 @@ class ServiceConfig:
     proof_table: str = ""                      # proof csv path
     cex_assets_info: str = ""                  # published cex assets json
     account_tree_root: str = ""                # hex root for user verify
+    # task queue: "host:port" selects the real Redis list protocol
+    # (reference Redis.Host, prover config.go:5-8); empty keeps the
+    # sqlite-backed queue with identical LPUSH/BRPOP semantics
+    redis_addr: str = ""
+    redis_password: str = ""
 
 
 def load_config(path: str) -> ServiceConfig:
@@ -49,4 +54,11 @@ def load_config(path: str) -> ServiceConfig:
             attr = mapping.get(k)
             if attr:
                 setattr(cfg, attr, v)
+        redis = data.get("Redis") or {}
+        if isinstance(redis, dict) and redis.get("Host"):
+            cfg.redis_addr = redis["Host"]
+            cfg.redis_password = redis.get("Password", "")
+        if data.get("redis_addr"):
+            cfg.redis_addr = data["redis_addr"]
+            cfg.redis_password = data.get("redis_password", "")
     return cfg

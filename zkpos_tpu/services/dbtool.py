@@ -35,7 +35,8 @@ class DbTool:
         self.witness = WitnessModel(self.db, cfg.db_suffix)
         self.userproof = UserProofModel(self.db, cfg.db_suffix)
         self.proof = ProofModel(self.db, cfg.db_suffix)
-        self.queue = TaskQueue(self.db, cfg.db_suffix)
+        from ..db.redis_backend import queue_from_config
+        self.queue = queue_from_config(cfg, self.db)
 
     def delete_all(self):
         self.witness.drop_table()

@@ -39,7 +39,8 @@ class Prover:
         self.witness_model = WitnessModel(self.db, cfg.db_suffix)
         self.proof_model = ProofModel(self.db, cfg.db_suffix)
         self.proof_model.create_table()
-        self.queue = TaskQueue(self.db, cfg.db_suffix)
+        from ..db.redis_backend import queue_from_config
+        self.queue = queue_from_config(cfg, self.db)
         self._params: Dict[int, tuple] = {}   # assets -> (cs_meta, pk, vk)
 
     # -- snark params ---------------------------------------------------------
