@@ -277,11 +277,27 @@ def _buf_init(curve: str, size: int):
         for a in ids)
 
 
+def _host_only() -> bool:
+    """ZKPOS_HOST_ONLY=1 routes MSM/fixed-base through the bn254 host
+    oracle — no device compiles.  For the default-gate e2e smoke test and
+    debugging; production paths never set it."""
+    import os
+    return os.environ.get("ZKPOS_HOST_ONLY", "") == "1"
+
+
 def _msm(curve: str, points, scalars, c: Optional[int] = None,
          base=None):
     n = len(points)
     if n == 0:
         return None
+    if _host_only():
+        add = bn.g1_add if curve == "g1" else bn.g2_add
+        mul = bn.g1_mul if curve == "g1" else bn.g2_mul
+        acc = None
+        for p, s_ in zip(points, scalars):
+            if p is not None and s_ % bn.R:
+                acc = add(acc, mul(p, s_ % bn.R))
+        return acc
     if c is None:
         c = max(6, min(13, n.bit_length() - 3))
     base_arrs = base if base is not None else _to_device_padded(curve, points)
@@ -434,6 +450,11 @@ def fixed_base_batch(curve: str, scalars) -> List:
     n = len(scalars)
     if n == 0:
         return []
+    if _host_only():
+        gen = bn.G1_GEN if curve == "g1" else bn.G2_GEN
+        mul = bn.g1_mul if curve == "g1" else bn.g2_mul
+        return [None if s % bn.R == 0 else mul(gen, s % bn.R)
+                for s in scalars]
     c = FB_C
     win = _windows_of(scalars, c)
     table = _fb_table(curve)
