@@ -74,7 +74,7 @@ def make_accounts(cex, n_users, n_assets):
             idx = (u + k * 3) % C.ASSET_COUNTS
             eq = (10 + u + k) * E8
             de = (1 + (u + k) % 3) * E8
-            lo = ma = pm = (2 + k % 4) * E8
+            lo = ma = pm = (1 + k % 2) * E8     # 3*lo+ma+pm <= 6E8 < equity
             assets.append(AccountAsset(index=idx, equity=eq, debt=de,
                                        loan=lo, margin=ma,
                                        portfolio_margin=pm))

@@ -92,12 +92,30 @@ def _twiddle_mul(x, tw_dig_np):
     return FR.reduce_mont(FR.conv(x, jnp.broadcast_to(tw, x.shape)))
 
 
-def _dif_stages(a, log_n: int, inverse: bool, reverse_order: bool):
+# Twiddle tables total ~34*N*4 bytes per NTT direction — at the 2^21+
+# production domains they CANNOT live as HLO constants (each use is
+# inlined into the serialized program; the axon remote-compile endpoint
+# rejected the 2^21 H graph with HTTP 413).  They are device-cached once
+# per (log_n, direction) and threaded through the jits as ARGUMENTS.
+
+@lru_cache(maxsize=None)
+def _stage_tw_dev(log_n: int, inverse: bool):
+    return tuple(jax.device_put(tw)
+                 for tw, _ in _stage_tables(log_n, inverse))
+
+
+@lru_cache(maxsize=None)
+def _bitrev_dev(log_n: int):
+    return jax.device_put(_bitrev_perm(log_n))
+
+
+def _dif_stages(a, log_n: int, inverse: bool, reverse_order: bool, tws):
     n = 1 << log_n
     stages = _stage_tables(log_n, inverse)
     order = range(log_n - 1, -1, -1) if reverse_order else range(log_n)
     for j in order:
-        tw_dig, norm = stages[j]
+        norm = stages[j][1]
+        tw_dig = tws[j]
         half = n >> (j + 1)
         blocks = n // (2 * half)
         v4 = a.reshape(NDIGITS, blocks, 2, half)
@@ -115,16 +133,19 @@ def _dif_stages(a, log_n: int, inverse: bool, reverse_order: bool):
     return a
 
 
+def ntt_core(a, log_n: int, inverse: bool, tws, perm):
+    """Traceable in-order -> in-order NTT body (tables as arguments)."""
+    if inverse:
+        a = jnp.take(a, perm, axis=1)           # DIT consumes bit-reversed
+        return _dif_stages(a, log_n, True, True, tws)
+    out = _dif_stages(a, log_n, False, False, tws)
+    return jnp.take(out, perm, axis=1)          # DIF produces bit-reversed
+
+
 @lru_cache(maxsize=None)
 def _ntt_jit(log_n: int, inverse: bool):
-    def run(a):
-        if inverse:
-            perm = jnp.asarray(_bitrev_perm(log_n))
-            a = jnp.take(a, perm, axis=1)       # DIT consumes bit-reversed
-            return _dif_stages(a, log_n, True, reverse_order=True)
-        out = _dif_stages(a, log_n, False, reverse_order=False)
-        perm = jnp.asarray(_bitrev_perm(log_n))
-        return jnp.take(out, perm, axis=1)      # DIF produces bit-reversed
+    def run(a, tws, perm):
+        return ntt_core(a, log_n, inverse, tws, perm)
     return jax.jit(run)
 
 
@@ -133,7 +154,8 @@ def ntt_mont(a, inverse: bool = False):
     n = a.shape[1]
     log_n = n.bit_length() - 1
     assert (1 << log_n) == n
-    return _ntt_jit(log_n, inverse)(a)
+    return _ntt_jit(log_n, inverse)(a, _stage_tw_dev(log_n, inverse),
+                                    _bitrev_dev(log_n))
 
 
 # -- host-facing helpers ------------------------------------------------------

@@ -128,23 +128,42 @@ def _coset_tables(d: int):
 
 
 @lru_cache(maxsize=None)
-def _h_fn(d: int):
+def _coset_tables_dev(d: int):
     gp, gip = _coset_tables(d)
+    return jax.device_put(gp), jax.device_put(gip)
+
+
+@lru_cache(maxsize=None)
+def _h_fn(d: int):
+    """One fused jit for the whole H pipeline.  All O(d)-sized tables
+    (per-stage twiddles, bit-reversal perms, coset scalings) come in as
+    ARGUMENTS — as closure constants they inline into the HLO at every
+    use and the ~2GB serialized program is rejected by the axon
+    remote-compile endpoint (HTTP 413) at production domains."""
+    from .ntt_device import _bitrev_dev, _stage_tw_dev, ntt_core
+    log_d = d.bit_length() - 1
 
     @jax.jit
-    def run(av, bv, cv):
-        a_cof = ntt_mont(av, inverse=True)
-        b_cof = ntt_mont(bv, inverse=True)
-        c_cof = ntt_mont(cv, inverse=True)
+    def run(av, bv, cv, tws_f, tws_i, perm, gp, gip):
+        inv = lambda x: ntt_core(x, log_d, True, tws_i, perm)
+        fwd = lambda x: ntt_core(x, log_d, False, tws_f, perm)
+        a_cof = inv(av)
+        b_cof = inv(bv)
+        c_cof = inv(cv)
         sc = lambda x, t: _twiddle_mul(x[:, None, :], t)[:, 0, :]
-        a_cos = ntt_mont(sc(a_cof, gp))
-        b_cos = ntt_mont(sc(b_cof, gp))
-        c_cos = ntt_mont(sc(c_cof, gp))
+        a_cos = fwd(sc(a_cof, gp))
+        b_cos = fwd(sc(b_cof, gp))
+        c_cos = fwd(sc(c_cof, gp))
         ab = FR.mont_mul(a_cos, b_cos)
         h_cos = FR.sub(ab, c_cos, k=2)
-        h_cof = ntt_mont(h_cos, inverse=True)
+        h_cof = inv(h_cos)
         return sc(h_cof, gip)       # un-scale; z_cos_inv folded into table
-    return run
+
+    def call(av, bv, cv):
+        gp, gip = _coset_tables_dev(d)
+        return run(av, bv, cv, _stage_tw_dev(log_d, False),
+                   _stage_tw_dev(log_d, True), _bitrev_dev(log_d), gp, gip)
+    return call
 
 
 def compute_h_device(cs, z_ints, d: int):
