@@ -96,6 +96,8 @@ def main():
                                  "tree_depth": C.ACCOUNT_TREE_DEPTH}}),
           flush=True)
 
+    import pickle
+    cache_f = f"/tmp/zkpos_e2e_keys_{UNIVERSE}_{TIER}_{BATCH}.pkl"
     t0 = time.time()
     cs = compile_tier(TIER, BATCH, range_bits=16)
     t_compile = phase("compile", t0)
@@ -104,7 +106,14 @@ def main():
           flush=True)
 
     t0 = time.time()
-    pk, vk = g16.setup(cs)
+    if os.path.exists(cache_f):
+        with open(cache_f, "rb") as f:
+            pk, vk = pickle.load(f)
+        print(json.dumps({"setup": "cached"}), flush=True)
+    else:
+        pk, vk = g16.setup(cs)
+        with open(cache_f, "wb") as f:
+            pickle.dump((pk, vk), f, protocol=pickle.HIGHEST_PROTOCOL)
     t_setup = phase("setup", t0)
     del cs
 

@@ -472,12 +472,19 @@ class ConstraintSystem:
                 sigma_bases = self._commit_key["sigma_bases"]
                 if len(bases) != len(wire_ids):
                     raise ValueError("commitment key length mismatch")
-                d_pt = None
-                pok = None
-                for wid, b, sb in zip(wire_ids, bases, sigma_bases):
-                    z = self.values[wid]
-                    d_pt = bn.g1_add(d_pt, bn.g1_mul(b, z))
-                    pok = bn.g1_add(pok, bn.g1_mul(sb, z))
+                zs = [self.values[w] for w in wire_ids]
+                if len(bases) > 1024:
+                    # device MSM: the host loop costs ~1ms per scalar mul
+                    # and transcripts run to 10^5-10^6 committed wires
+                    from ..ops import msm as _msm
+                    d_pt = _msm.msm_g1(bases, zs)
+                    pok = _msm.msm_g1(sigma_bases, zs)
+                else:
+                    d_pt = None
+                    pok = None
+                    for z, b, sb in zip(zs, bases, sigma_bases):
+                        d_pt = bn.g1_add(d_pt, bn.g1_mul(b, z))
+                        pok = bn.g1_add(pok, bn.g1_mul(sb, z))
                 cval = (_poseidon([0, 0]) if d_pt is None
                         else _poseidon([d_pt[0] % MOD, d_pt[1] % MOD]))
                 self._commit_result = (d_pt, pok, cval)
