@@ -129,12 +129,28 @@ def main():
     t_witness = phase("witness_pipeline", t0)
 
     t0 = time.time()
-    w = bcu.set_batch_create_user_circuit_witness(wit)
-    scs = ConstraintSystem(solve=True, range_bits=16)
-    bcu.define(scs, w)
-    scs.set_commitment_key({"bases": pk.ck_bases,
-                            "sigma_bases": pk.ck_sigma_bases})
-    scs.finalize()
+    solve_cache = f"/tmp/zkpos_e2e_solved_{UNIVERSE}_{TIER}_{BATCH}.pkl"
+    if os.path.exists(solve_cache):
+        with open(solve_cache, "rb") as f:
+            scs = pickle.load(f)
+        print(json.dumps({"witness_solve": "cached"}), flush=True)
+    else:
+        w = bcu.set_batch_create_user_circuit_witness(wit)
+        scs = ConstraintSystem(solve=True, range_bits=16)
+        bcu.define(scs, w)
+        scs.set_commitment_key({"bases": pk.ck_bases,
+                                "sigma_bases": pk.ck_sigma_bases})
+        scs.finalize()
+        hints, scs.hints = scs.hints, []          # closures don't pickle
+        finals, scs._finalizers = scs._finalizers, []
+        posts, scs._post_commit = scs._post_commit, []
+        key, scs._commit_key = scs._commit_key, None
+        rt, scs._range_table = scs._range_table, None
+        with open(solve_cache, "wb") as f:
+            pickle.dump(scs, f, protocol=pickle.HIGHEST_PROTOCOL)
+        scs.hints, scs._finalizers = hints, finals
+        scs._post_commit, scs._commit_key = posts, key
+        scs._range_table = rt
     t_solve = phase("witness_solve", t0)
     assert len(scs.constraints) == n_cons, \
         f"{len(scs.constraints)} != {n_cons}"

@@ -133,36 +133,39 @@ def _coset_tables_dev(d: int):
     return jax.device_put(gp), jax.device_put(gip)
 
 
+@jax.jit
+def _scale_jit(x, t):
+    return _twiddle_mul(x[:, None, :], t)[:, 0, :]
+
+
+@jax.jit
+def _ab_minus_c(a, b, c):
+    return FR.sub(FR.mont_mul(a, b), c, k=2)
+
+
 @lru_cache(maxsize=None)
 def _h_fn(d: int):
-    """One fused jit for the whole H pipeline.  All O(d)-sized tables
-    (per-stage twiddles, bit-reversal perms, coset scalings) come in as
-    ARGUMENTS — as closure constants they inline into the HLO at every
-    use and the ~2GB serialized program is rejected by the axon
-    remote-compile endpoint (HTTP 413) at production domains."""
-    from .ntt_device import _bitrev_dev, _stage_tw_dev, ntt_core
-    log_d = d.bit_length() - 1
-
-    @jax.jit
-    def run(av, bv, cv, tws_f, tws_i, perm, gp, gip):
-        inv = lambda x: ntt_core(x, log_d, True, tws_i, perm)
-        fwd = lambda x: ntt_core(x, log_d, False, tws_f, perm)
-        a_cof = inv(av)
-        b_cof = inv(bv)
-        c_cof = inv(cv)
-        sc = lambda x, t: _twiddle_mul(x[:, None, :], t)[:, 0, :]
-        a_cos = fwd(sc(a_cof, gp))
-        b_cos = fwd(sc(b_cof, gp))
-        c_cos = fwd(sc(c_cof, gp))
-        ab = FR.mont_mul(a_cos, b_cos)
-        h_cos = FR.sub(ab, c_cos, k=2)
-        h_cof = inv(h_cos)
-        return sc(h_cof, gip)       # un-scale; z_cos_inv folded into table
+    """H pipeline as SEQUENTIAL jitted stages (3 iFFT + 3 coset FFT +
+    pointwise + 1 coset iFFT, exactly gnark's shape in prover.go:269).
+    Two hard-won constraints at production domains (2^21+): the O(d)
+    twiddle/bitrev/coset tables must be jit ARGUMENTS (as closure
+    constants they inline per use and the serialized program blows the
+    axon remote-compile body limit), and the pipeline must NOT be one
+    fused jit (XLA's temp padding on the ripple slices — 128x on
+    f32[1,32768,32] tiles — pushed a fused 2^21 graph 84MB past the
+    15.75G HBM)."""
 
     def call(av, bv, cv):
         gp, gip = _coset_tables_dev(d)
-        return run(av, bv, cv, _stage_tw_dev(log_d, False),
-                   _stage_tw_dev(log_d, True), _bitrev_dev(log_d), gp, gip)
+        a_cof = ntt_mont(av, inverse=True)
+        b_cof = ntt_mont(bv, inverse=True)
+        c_cof = ntt_mont(cv, inverse=True)
+        a_cos = ntt_mont(_scale_jit(a_cof, gp))
+        b_cos = ntt_mont(_scale_jit(b_cof, gp))
+        c_cos = ntt_mont(_scale_jit(c_cof, gp))
+        h_cos = _ab_minus_c(a_cos, b_cos, c_cos)
+        h_cof = ntt_mont(h_cos, inverse=True)
+        return _scale_jit(h_cof, gip)   # un-scale; z_cos_inv in table
     return call
 
 
