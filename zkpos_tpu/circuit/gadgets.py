@@ -144,6 +144,30 @@ def poseidon_gadget(cs: ConstraintSystem, inputs: List[VarLike]) -> LC:
     return digest
 
 
+# The device QAP evaluator (groth16/qap_device.py) sums each constraint
+# row's terms as exact f32 digit vectors; exactness holds while
+# 255*T < 2^23, i.e. T <= ~32k terms per row.  Production logUp sums run
+# to 10^5-10^6 terms, so wide sums are materialized through chunked
+# partial-sum wires (one linear constraint per 2^14 terms).
+_SUM_CHUNK = 1 << 14
+
+
+def _chunked_sum(cs: ConstraintSystem, terms: dict) -> LC:
+    if len(terms) <= _SUM_CHUNK:
+        return LC(terms)
+    items = list(terms.items())
+    parts = []
+    for i in range(0, len(items), _SUM_CHUNK):
+        sub = LC(dict(items[i:i + _SUM_CHUNK]))
+        val = cs.eval_lc(sub) if cs.solve else None
+        w = cs._internal(val)
+        cs._emit(cs.sub(sub, w), LC(const=1), LC())
+        parts.append(w)
+    return _chunked_sum(
+        cs, {next(iter(p.terms)): next(iter(p.terms.values()))
+             for p in parts})
+
+
 class LookupTable:
     """logderivlookup.Table-compatible API (New/Insert/Lookup) encoded as a
     logUp (log-derivative) argument in plain R1CS.
@@ -263,4 +287,5 @@ class LookupTable:
             cs.assert_product(u, d, LC(const=1))
             (uv, uc), = u.terms.items()
             rhs_terms[uv] = rhs_terms.get(uv, 0) + uc
-        cs.assert_is_equal(LC(lhs_terms), LC(rhs_terms))
+        cs.assert_is_equal(_chunked_sum(cs, lhs_terms),
+                           _chunked_sum(cs, rhs_terms))
