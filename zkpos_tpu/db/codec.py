@@ -1,13 +1,20 @@
 """Batch-witness blob codec.
 
-Reference: gob encode -> s2 compress -> base64 (witness.go:219-228),
-decoded by DecodeBatchWitness (utils.go:704-742) which re-expands each op's
-sparse asset list into a dense AssetCounts-slot array.
+Reference protocol: gob encode -> s2 compress -> base64
+(witness.go:219-228), decoded by DecodeBatchWitness (utils.go:704-742)
+which re-expands each op's sparse asset list into a dense
+AssetCounts-slot array.
 
-gob is Go-specific; this framework uses a documented equivalent:
-JSON -> zlib -> base64, with the same sparse-assets storage convention and
-the same densify-on-decode step.  (A decoder for reference-produced gob
-blobs is a planned import path; see COMPAT.md.)
+This module speaks BOTH wire formats:
+
+  * the reference's own base64(s2(gob(...))) — via the pure-Python gob
+    and snappy/S2 codecs in gob_codec.py / s2py.py (default for encode,
+    so witness rows interchange with the Go services), and
+  * a JSON+zlib+base64 equivalent kept for rows written by earlier
+    rounds; `decode_batch_witness` detects the format.
+
+Both share the sparse-assets storage convention and the densify-on-decode
+step of the reference.
 """
 
 from __future__ import annotations
@@ -34,7 +41,112 @@ def _tier_parse(data: list) -> List[TierRatio]:
                       precomputed_value=int(p)) for b, r, p in data]
 
 
+def _tiers_go(ratios: List[TierRatio]) -> list:
+    return [{"BoundaryValue": t.boundary_value, "Ratio": t.ratio,
+             "PrecomputedValue": t.precomputed_value} for t in ratios]
+
+
+def _tiers_from_go(data: list) -> List[TierRatio]:
+    return [TierRatio(boundary_value=t.get("BoundaryValue", 0),
+                      ratio=t.get("Ratio", 0),
+                      precomputed_value=t.get("PrecomputedValue", 0))
+            for t in (data or [])]
+
+
+def encode_batch_witness_gob(w: BatchCreateUserWitness) -> str:
+    """Reference wire format: base64(s2(gob(...))) (witness.go:219-228).
+    Assets are stored sparsely, exactly like the Go witness service."""
+    from . import gob_codec, s2py
+    obj = {
+        "BatchCommitment": w.batch_commitment,
+        "AccountTreeRoot": w.account_tree_root,
+        "BeforeCEXAssetsCommitment": w.before_cex_assets_commitment,
+        "AfterCEXAssetsCommitment": w.after_cex_assets_commitment,
+        "MinAccountIndex": w.min_account_index,
+        "MaxAccountIndex": w.max_account_index,
+        "BeforeCexAssets": [{
+            "TotalEquity": a.total_equity, "TotalDebt": a.total_debt,
+            "BasePrice": a.base_price, "Symbol": a.symbol,
+            "Index": a.index, "LoanCollateral": a.loan_collateral,
+            "MarginCollateral": a.margin_collateral,
+            "PortfolioMarginCollateral": a.portfolio_margin_collateral,
+            "LoanRatios": _tiers_go(a.loan_ratios),
+            "MarginRatios": _tiers_go(a.margin_ratios),
+            "PortfolioMarginRatios": _tiers_go(a.portfolio_margin_ratios),
+        } for a in w.before_cex_assets],
+        "CreateUserOps": [{
+            "Assets": [{"Index": a.index, "Equity": a.equity,
+                        "Debt": a.debt, "Loan": a.loan,
+                        "Margin": a.margin,
+                        "PortfolioMargin": a.portfolio_margin}
+                       for a in op.assets if not is_asset_empty(a)],
+            "AccountIndex": op.account_index,
+            "AccountIdHash": op.account_id_hash,
+            "AccountProof": list(op.account_proof),
+        } for op in w.create_user_ops],
+    }
+    tier_count = max((len(a.loan_ratios) for a in w.before_cex_assets),
+                     default=C.TIER_COUNT)
+    depth = max((len(op.account_proof) for op in w.create_user_ops),
+                default=C.ACCOUNT_TREE_DEPTH)
+    raw = gob_codec.encode_stream(obj, tier_count, depth)
+    return base64.b64encode(s2py.compress(raw)).decode(_B64)
+
+
+def decode_batch_witness_gob(data: str,
+                             asset_counts: int | None = None
+                             ) -> BatchCreateUserWitness:
+    """Decode a reference-produced (or our own gob-encoded) blob and
+    densify assets (utils.go:723-741)."""
+    from . import gob_codec, s2py
+    n_assets = asset_counts or C.ASSET_COUNTS
+    obj = gob_codec.decode_stream(s2py.decompress(base64.b64decode(data)))
+    w = BatchCreateUserWitness(
+        batch_commitment=bytes(obj.get("BatchCommitment", b"")),
+        account_tree_root=bytes(obj.get("AccountTreeRoot", b"")),
+        before_cex_assets_commitment=bytes(
+            obj.get("BeforeCEXAssetsCommitment", b"")),
+        after_cex_assets_commitment=bytes(
+            obj.get("AfterCEXAssetsCommitment", b"")),
+        min_account_index=obj.get("MinAccountIndex", 0),
+        max_account_index=obj.get("MaxAccountIndex", 0))
+    for a in obj.get("BeforeCexAssets", []):
+        w.before_cex_assets.append(CexAssetInfo(
+            total_equity=a.get("TotalEquity", 0),
+            total_debt=a.get("TotalDebt", 0),
+            base_price=a.get("BasePrice", 0),
+            symbol=a.get("Symbol", ""), index=a.get("Index", 0),
+            loan_collateral=a.get("LoanCollateral", 0),
+            margin_collateral=a.get("MarginCollateral", 0),
+            portfolio_margin_collateral=a.get(
+                "PortfolioMarginCollateral", 0),
+            loan_ratios=_tiers_from_go(a.get("LoanRatios")),
+            margin_ratios=_tiers_from_go(a.get("MarginRatios")),
+            portfolio_margin_ratios=_tiers_from_go(
+                a.get("PortfolioMarginRatios"))))
+    for o in obj.get("CreateUserOps", []):
+        dense = [AccountAsset(index=p) for p in range(n_assets)]
+        for a in o.get("Assets", []):
+            ix = a.get("Index", 0)
+            dense[ix] = AccountAsset(
+                index=ix, equity=a.get("Equity", 0),
+                debt=a.get("Debt", 0), loan=a.get("Loan", 0),
+                margin=a.get("Margin", 0),
+                portfolio_margin=a.get("PortfolioMargin", 0))
+        w.create_user_ops.append(CreateUserOperation(
+            assets=dense,
+            account_index=o.get("AccountIndex", 0),
+            account_id_hash=bytes(o.get("AccountIdHash", b"")),
+            account_proof=[bytes(p) for p in o.get("AccountProof", [])]))
+    return w
+
+
 def encode_batch_witness(w: BatchCreateUserWitness) -> str:
+    """Default encoder: the reference gob+s2 wire format."""
+    return encode_batch_witness_gob(w)
+
+
+def encode_batch_witness_json(w: BatchCreateUserWitness) -> str:
     obj = {
         "bc": base64.b64encode(w.batch_commitment).decode(_B64),
         "rt": base64.b64encode(w.account_tree_root).decode(_B64),
@@ -67,7 +179,17 @@ def encode_batch_witness(w: BatchCreateUserWitness) -> str:
 def decode_batch_witness(data: str,
                          asset_counts: int | None = None
                          ) -> BatchCreateUserWitness:
-    """Decode + densify (utils.go:704-742)."""
+    """Decode + densify (utils.go:704-742).  Tries the reference gob+s2
+    format first, then the legacy JSON+zlib rows."""
+    try:
+        return decode_batch_witness_gob(data, asset_counts)
+    except Exception:
+        return decode_batch_witness_json(data, asset_counts)
+
+
+def decode_batch_witness_json(data: str,
+                              asset_counts: int | None = None
+                              ) -> BatchCreateUserWitness:
     n_assets = asset_counts or C.ASSET_COUNTS
     obj = json.loads(zlib.decompress(base64.b64decode(data)))
     w = BatchCreateUserWitness(
