@@ -83,3 +83,13 @@ def test_msm_g2_random_small():
            for _ in range(9)]
     sc = [int.from_bytes(rng.bytes(32), "little") for _ in range(9)]
     assert msm.msm_g2(pts, sc, c=6) == _oracle_g2(pts, sc)
+
+
+def test_msm_g1_chunked_passes(monkeypatch):
+    """HBM pass-row cap: oversized passes split into fixed-row chunks at
+    staggered buf offsets — result must match the unchunked path."""
+    monkeypatch.setattr(msm, "_PASS_ROW_CAP_G1", 8)
+    rng = np.random.default_rng(6)
+    pts = _rand_g1(rng, 160)
+    sc = [int.from_bytes(rng.bytes(32), "little") for _ in range(160)]
+    assert msm.msm_g1(pts, sc, c=8) == _oracle_g1(pts, sc)

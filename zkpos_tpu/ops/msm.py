@@ -38,6 +38,8 @@ from . import ec_f32 as ecf
 LCAP = 4           # row width of the numpy-fallback grouped reduction
 PLAN_L = 4         # row width of the native-planned passes (log4 collapse)
 _SAFE_BOUND = 10.0  # stationary lazy bound of fold coordinates
+_PASS_ROW_CAP_G1 = 1 << 18   # max rows per fused pass dispatch (HBM cap:
+_PASS_ROW_CAP_G2 = 1 << 16   # gather transient = 3|12 arrs x 34 x 4L rows)
 
 
 def _pow2ceil(n: int) -> int:
@@ -249,6 +251,26 @@ def _pass1_fn(curve: str):
 
 
 @lru_cache(maxsize=None)
+def _pass1_nocarry_fn(curve: str):
+    """jit: a base->buf pass chunk without the carry copy (chunks after
+    the first of an HBM-capped pass 1)."""
+    import math
+    folds = int(math.log2(PLAN_L))
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def run(base, buf, idx_a, off_a):
+        flat = tuple(jnp.take(a, idx_a.reshape(-1), axis=1) for a in base)
+        for _ in range(folds):
+            flat = _device_add(curve,
+                               tuple(x[..., 0::2] for x in flat),
+                               tuple(x[..., 1::2] for x in flat))
+        return tuple(jax.lax.dynamic_update_slice(b, f, (0, off_a))
+                     for b, f in zip(buf, flat))
+
+    return run
+
+
+@lru_cache(maxsize=None)
 def _passk_fn(curve: str):
     """jit: one buf-resident reduction pass (reads and writes buf only —
     already-reduced buckets are never touched again)."""
@@ -308,19 +330,32 @@ def _msm(curve: str, points, scalars, c: Optional[int] = None,
         if len(fkeys) == 0:
             return None
         fn1 = _pass1_fn(curve)
+        fn1n = _pass1_nocarry_fn(curve)
         fnk = _passk_fn(curve)
         buf = _buf_init(curve, _pow2ceil(plan["buf_size"]))
-        first = True
+        # HBM cap: one pass chunk gathers PLAN_L*rows columns of the
+        # (34, ·) digit arrays; a 2^21-row G1 pass peaks at several GB of
+        # transients next to the resident pk bases and OOMs the chip, so
+        # oversized passes are split into fixed pow2-row chunks written at
+        # staggered buf offsets (pass rows are pow2-padded by the C++
+        # planner, so chunks divide exactly and pad rows have reserved
+        # output slots).
+        cap = _PASS_ROW_CAP_G1 if curve == "g1" else _PASS_ROW_CAP_G2
         # NOTE: idx matrices go in as raw numpy — the jit-argument
         # transfer path is ~4.5x faster than device_put over the axon
         # tunnel (measured 0.8s vs 3.7s for a 32MB index matrix)
-        for idx_a, out_off in plan["passes"]:
-            if first:
-                buf = fn1(base_arrs, buf, idx_a, plan["carry_idx"],
-                          jnp.int32(out_off), jnp.int32(plan["carry_off"]))
-                first = False
-            else:
-                buf = fnk(buf, idx_a, jnp.int32(out_off))
+        for p_i, (idx_a, out_off) in enumerate(plan["passes"]):
+            nrows = idx_a.shape[0]
+            for start in range(0, nrows, cap):
+                sub = idx_a[start:start + cap]
+                off = jnp.int32(out_off + start)
+                if p_i > 0:
+                    buf = fnk(buf, sub, off)
+                elif start == 0:        # carry copy rides chunk 0 only
+                    buf = fn1(base_arrs, buf, sub, plan["carry_idx"],
+                              off, jnp.int32(plan["carry_off"]))
+                else:                   # later pass-1 chunks read base
+                    buf = fn1n(base_arrs, buf, sub, off)
         farrs = buf
     else:
         # numpy fallback (no native lib): schedule pass-by-pass on host
