@@ -253,16 +253,32 @@ def _compute_h(cs: ConstraintSystem, z: List[int], d: int) -> List[int]:
 
 def _pk_device_cache(pk: ProvingKey) -> dict:
     """Device-resident MSM bases, uploaded once per pk (the analog of
-    gnark's LoadSnarkParamsOnce, reference prover.go:285-367)."""
+    gnark's LoadSnarkParamsOnce, reference prover.go:285-367).
+
+    HBM budget-aware: bases are pinned in priority order until the
+    estimated footprint hits ZKPOS_PK_DEVCACHE_GB (default 4.5); the
+    rest return None and prove() streams them per proof — at the 2^21
+    tier the five bases cost ~5GB, which next to a ~5.5GB MSM results
+    buffer OOMs a 16GB chip if all are pinned."""
+    import os
     cache = getattr(pk, "_dev_cache", None)
     if cache is None:
-        cache = {
-            "a": msm.device_points("g1", pk.a_g1),
-            "b1": msm.device_points("g1", pk.b1_g1),
-            "b2": msm.device_points("g2", pk.b_g2),
-            "k": msm.device_points("g1", pk.k_g1),
-            "z": msm.device_points("g1", pk.z_g1),
-        }
+        budget = float(os.environ.get("ZKPOS_PK_DEVCACHE_GB", "4.5")) * 2**30
+        bases = [("a", "g1", pk.a_g1), ("b1", "g1", pk.b1_g1),
+                 ("k", "g1", pk.k_g1), ("z", "g1", pk.z_g1),
+                 ("b2", "g2", pk.b_g2)]
+        cache, used = {}, 0.0
+        for name, curve, pts in bases:
+            cols = 1
+            while cols < len(pts) + 1:
+                cols *= 2
+            narr = 3 if curve == "g1" else 6
+            bytes_ = narr * 34 * 4 * cols
+            if used + bytes_ > budget:
+                cache[name] = None           # streamed per proof
+                continue
+            cache[name] = msm.device_points(curve, pts)
+            used += bytes_
         pk._dev_cache = cache
     return cache
 

@@ -321,7 +321,10 @@ def _msm(curve: str, points, scalars, c: Optional[int] = None,
                 acc = add(acc, mul(p, s_ % bn.R))
         return acc
     if c is None:
-        c = max(6, min(13, n.bit_length() - 3))
+        # wider windows at large N: fewer window passes shrink both the
+        # global stream (HBM: the results buffer scales with it) and the
+        # host->device schedule; bucket-fold cost stays ~2^c * W / 2.
+        c = max(6, min(16, n.bit_length() - 3))
     base_arrs = base if base is not None else _to_device_padded(curve, points)
 
     plan = _native_plan(scalars, c)
@@ -332,7 +335,14 @@ def _msm(curve: str, points, scalars, c: Optional[int] = None,
         fn1 = _pass1_fn(curve)
         fn1n = _pass1_nocarry_fn(curve)
         fnk = _passk_fn(curve)
-        buf = _buf_init(curve, _pow2ceil(plan["buf_size"]))
+        # buf columns quantized to 4M steps, not pow2: a 14M-column buf
+        # costs 5.5GB for G1 — pow2ceil to 16M wastes another ~1GB of HBM
+        # at the 2^21-wire tier, while coarse steps keep the jit shape
+        # classes few (compile reuse across MSMs).
+        bq = 1 << 22
+        buf_cols = (max(plan["buf_size"], 8) + bq - 1) // bq * bq \
+            if plan["buf_size"] > bq else _pow2ceil(max(plan["buf_size"], 8))
+        buf = _buf_init(curve, buf_cols)
         # HBM cap: one pass chunk gathers PLAN_L*rows columns of the
         # (34, ·) digit arrays; a 2^21-row G1 pass peaks at several GB of
         # transients next to the resident pk bases and OOMs the chip, so
