@@ -57,6 +57,33 @@ def test_struct_stream_roundtrip_with_unknown_field_order():
     assert "AccountTreeRoot" not in out
 
 
+def test_zero_big_int_field_is_encoded_not_omitted():
+    """Go omits only nil *big.Int pointers; a non-nil big.Int holding 0 is
+    sent as the 1-byte gob b'\\x02'.  Omitting it would leave the field nil
+    on the Go side and nil-panic TierRatio consumers (reference utils.go:36,
+    utils.go:671; ADVICE r3)."""
+    obj = {"MinAccountIndex": 1,
+           "BeforeCexAssets": [{
+               "Symbol": "x", "Index": 0, "BasePrice": 1,
+               "TotalEquity": 0, "TotalDebt": 0, "LoanCollateral": 0,
+               "MarginCollateral": 0, "PortfolioMarginCollateral": 0,
+               "LoanRatios": [{"BoundaryValue": 0, "Ratio": 0,
+                               "PrecomputedValue": 0}] * 2,
+               "MarginRatios": [{"BoundaryValue": 0, "Ratio": 0,
+                                 "PrecomputedValue": 0}] * 2,
+               "PortfolioMarginRatios": [{"BoundaryValue": 0, "Ratio": 0,
+                                          "PrecomputedValue": 0}] * 2,
+           }],
+           "CreateUserOps": []}
+    blob = gc.encode_stream(obj, 2, 4)
+    out = gc.decode_stream(blob)
+    tr = out["BeforeCexAssets"][0]["LoanRatios"][0]
+    # decoded side sees the explicit zero values (fields present)
+    assert tr["BoundaryValue"] == 0 and tr["PrecomputedValue"] == 0
+    # and the wire carries the one-byte zero big.Int payloads
+    assert b"\x01\x02" in blob     # len=1 prefix + version byte for 0
+
+
 # --- snappy / s2 --------------------------------------------------------------
 
 def test_snappy_roundtrip():

@@ -485,8 +485,10 @@ class ConstraintSystem:
                     for z, b, sb in zip(zs, bases, sigma_bases):
                         d_pt = bn.g1_add(d_pt, bn.g1_mul(b, z))
                         pok = bn.g1_add(pok, bn.g1_mul(sb, z))
-                cval = (_poseidon([0, 0]) if d_pt is None
-                        else _poseidon([d_pt[0] % MOD, d_pt[1] % MOD]))
+                # upstream gnark's bsb22 challenge: SHA-256 hash-to-field
+                # over the marshalled commitment (groth16/hash_to_field.py)
+                from ..groth16.hash_to_field import bsb22_challenge
+                cval = bsb22_challenge(d_pt)
                 self._commit_result = (d_pt, pok, cval)
         c = self._internal(cval)
         self.commitment = {"wires": wire_ids,

@@ -94,13 +94,16 @@ def encode_batch_witness_gob(w: BatchCreateUserWitness) -> str:
 
 
 def decode_batch_witness_gob(data: str,
-                             asset_counts: int | None = None
+                             asset_counts: int | None = None,
+                             _decompressed: bytes | None = None
                              ) -> BatchCreateUserWitness:
     """Decode a reference-produced (or our own gob-encoded) blob and
     densify assets (utils.go:723-741)."""
     from . import gob_codec, s2py
     n_assets = asset_counts or C.ASSET_COUNTS
-    obj = gob_codec.decode_stream(s2py.decompress(base64.b64decode(data)))
+    raw = (_decompressed if _decompressed is not None
+           else s2py.decompress(base64.b64decode(data)))
+    obj = gob_codec.decode_stream(raw)
     w = BatchCreateUserWitness(
         batch_commitment=bytes(obj.get("BatchCommitment", b"")),
         account_tree_root=bytes(obj.get("AccountTreeRoot", b"")),
@@ -180,11 +183,26 @@ def decode_batch_witness(data: str,
                          asset_counts: int | None = None
                          ) -> BatchCreateUserWitness:
     """Decode + densify (utils.go:704-742).  Tries the reference gob+s2
-    format first, then the legacy JSON+zlib rows."""
+    format first, then the legacy JSON+zlib rows.  Format detection and
+    mid-decode failure are distinguished (ADVICE r3): if the blob IS
+    s2-framed but the gob payload is corrupt, the gob error propagates
+    instead of surfacing as an unrelated JSON/zlib error."""
+    import base64 as _b64
+    from . import s2py as _s2
     try:
-        return decode_batch_witness_gob(data, asset_counts)
+        raw = _s2.decompress(_b64.b64decode(data))
     except Exception:
         return decode_batch_witness_json(data, asset_counts)
+    try:
+        return decode_batch_witness_gob(data, asset_counts,
+                                        _decompressed=raw)
+    except Exception as e:
+        # a zlib stream can coincidentally parse as an s2 block; only
+        # fall through when the payload is recognizably not gob
+        try:
+            return decode_batch_witness_json(data, asset_counts)
+        except Exception:
+            raise e from None
 
 
 def decode_batch_witness_json(data: str,

@@ -181,7 +181,13 @@ def _enc_struct(fields, obj: Dict[str, Any], types, out: bytearray) -> None:
     last = -1
     for num, (name, ftid) in enumerate(fields):
         v = obj.get(name)
-        if _is_zero(v):
+        # Go's encoder omits only nil *big.Int pointers, not non-nil ones
+        # holding 0 — omitting a zero-valued gobencoder field would leave
+        # it nil on the Go side and nil-panic TierRatio consumers
+        # (reference utils.go:36,671; ADVICE r3).
+        is_gobenc = (ftid in types
+                     and types[ftid].get("kind") == "gobencoder")
+        if v is None or (not is_gobenc and _is_zero(v)):
             continue
         out += put_uint(num - last)
         last = num
