@@ -180,6 +180,16 @@ void zk_from_mont_batch(int which, const u64* a, u64* out, size_t n) {
     for (size_t i = 0; i < n; ++i) from_mont(out + 4 * i, a + 4 * i, f);
 }
 
+// out[i] = a[i] * c / 2^256 mod p — one CIOS per element against a fixed
+// constant; the domain-shift bridge between the 2^256 CIOS domain here
+// and the 2^272 digit-engine domain (ops/fd32.py)
+void zk_mul_const_batch(int which, const u64* a, const u64* c, u64* out,
+                        size_t n) {
+    const Field& f = field(which);
+    for (size_t i = 0; i < n; ++i)
+        mont_mul(out + 4 * i, a + 4 * i, c, f);
+}
+
 // ---- digit-vector bridge (ops/fd32.py layout: (34, N) f32, base 256) -------
 
 void zk_u256_to_digits(const u64* in, float* out, size_t n) {
@@ -598,6 +608,559 @@ void zk_msm_plan_fill(void* handle, long long* pass_meta, int* idx_out,
     std::memcpy(fidx_out, plan->fidx.data(),
                 plan->fidx.size() * sizeof(int));
     delete plan;
+}
+
+}  // extern "C"
+
+// ---- Two-pass R1CS witness solver -------------------------------------------
+//
+// Replaces the eager per-wire Python solve of circuit/cs.py (VERDICT r3
+// missing #2): the circuit is compiled ONCE (structure + hint schedule,
+// recorded by circuit/solver_native.py), then each batch witness is solved
+// here at memory speed, gnark-style (frontend.NewWitness + solver inside
+// groth16.Prove, reference prover.go:260-269): walk constraints in order,
+// run scheduled hints, and solve the single unknown wire of each defining
+// constraint (A*B=C with the unknown linear in exactly one matrix).
+//
+// Values are kept in Montgomery form; hints get native implementations
+// (bit/limb decomposition, iszero, divmod, logUp table lookups,
+// multiplicities, batched fraction inversion).
+
+namespace {
+
+inline bool is_zero4(const u64* a) {
+    return !(a[0] | a[1] | a[2] | a[3]);
+}
+
+// binary extended GCD inverse (standard form in/out); ~5x faster than
+// Fermat powmod with this CIOS at 4 limbs
+inline void shr1(u64* a) {
+    a[0] = (a[0] >> 1) | (a[1] << 63);
+    a[1] = (a[1] >> 1) | (a[2] << 63);
+    a[2] = (a[2] >> 1) | (a[3] << 63);
+    a[3] >>= 1;
+}
+
+inline void add4_carry(u64* a, const u64* b, u64& top) {
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a[i] + b[i] + c;
+        a[i] = (u64)s;
+        c = s >> 64;
+    }
+    top += (u64)c;
+}
+
+void inv_mod(u64* out, const u64* a_std, const Field& f) {
+    if (is_zero4(a_std)) { out[0] = out[1] = out[2] = out[3] = 0; return; }
+    u64 u[4], v[4], b[4] = {1, 0, 0, 0}, c[4] = {0, 0, 0, 0};
+    std::memcpy(u, a_std, 32);
+    std::memcpy(v, f.mod, 32);
+    while (!is_zero4(u)) {
+        while (!(u[0] & 1)) {
+            shr1(u);
+            if (b[0] & 1) { u64 t = 0; add4_carry(b, f.mod, t);
+                            shr1(b); b[3] |= t << 63; }
+            else shr1(b);
+        }
+        while (!(v[0] & 1)) {
+            shr1(v);
+            if (c[0] & 1) { u64 t = 0; add4_carry(c, f.mod, t);
+                            shr1(c); c[3] |= t << 63; }
+            else shr1(c);
+        }
+        if (geq(u, v)) {
+            sub4(u, u, v);
+            sub_mod(b, b, c, f);
+        } else {
+            sub4(v, v, u);
+            sub_mod(c, c, b, f);
+        }
+    }
+    cond_sub(c, f);
+    std::memcpy(out, c, 32);
+}
+
+struct SolverProgram {
+    // constraints
+    long long n_cons = 0;
+    const uint32_t* lens = nullptr;       // 3 per constraint
+    const uint32_t* term_vars = nullptr;
+    const uint32_t* term_cids = nullptr;
+    // coefficient pool (Montgomery)
+    std::vector<u64> pool_mont;
+    long long n_pool = 0;
+    // hints
+    long long n_hints = 0;
+    const long long* h_pos = nullptr;
+    const int* h_kind = nullptr;
+    const long long* h_p0 = nullptr;
+    const long long* h_p1 = nullptr;
+    const long long* h_in_start = nullptr;   // into lc index arrays
+    const long long* h_in_count = nullptr;
+    const long long* h_out_start = nullptr;
+    const long long* h_out_count = nullptr;
+    const uint32_t* out_wires = nullptr;
+    // hint-input LCs: per input (terms_start, terms_count, const_cid)
+    const long long* lc_terms_start = nullptr;
+    const long long* lc_terms_count = nullptr;
+    const uint32_t* lc_const_cid = nullptr;
+    const uint32_t* lc_vars = nullptr;
+    const uint32_t* lc_cids = nullptr;
+    // tables: entries are LC ids (indices into the same LC arrays)
+    const long long* tbl_start = nullptr;    // n_tables+1
+    const long long* tbl_lc_ids = nullptr;
+    long long n_tables = 0;
+};
+
+struct SolverState {
+    long long n_vars = 0;
+    std::vector<u64> val;         // Montgomery form, 4 limbs per wire
+    std::vector<unsigned char> known;
+    long long next_hint = 0;
+    long long cached_con = -1;
+    long long cached_off = 0;
+    long long err_con = -1;       // first unsatisfied / unsolvable index
+    int err_code = 0;             // 1 unsat, 2 multi-unknown, 3 div-zero,
+                                  // 4 bad hint
+};
+
+SolverProgram g_prog;
+SolverState g_state;
+
+// evaluate an LC by id; returns false if any wire unknown
+inline bool eval_lc_id(long long lc, u64* out) {
+    u64 acc[4] = {0, 0, 0, 0};
+    long long s = g_prog.lc_terms_start[lc];
+    long long n = g_prog.lc_terms_count[lc];
+    for (long long k = s; k < s + n; ++k) {
+        uint32_t v = g_prog.lc_vars[k];
+        if (!g_state.known[v]) return false;
+        u64 p[4];
+        mont_mul(p, g_prog.pool_mont.data() + 4 * g_prog.lc_cids[k],
+                 g_state.val.data() + 4 * v, FR);
+        add_mod(acc, acc, p, FR);
+    }
+    uint32_t cc = g_prog.lc_const_cid[lc];
+    if (cc != 0xFFFFFFFFu)
+        add_mod(acc, acc, g_prog.pool_mont.data() + 4 * cc, FR);
+    std::memcpy(out, acc, 32);
+    return true;
+}
+
+inline void set_wire(uint32_t w, const u64* mont_val) {
+    std::memcpy(g_state.val.data() + 4 * w, mont_val, 32);
+    g_state.known[w] = 1;
+}
+
+// standard-form helpers for integer hints
+inline void mont_to_std(const u64* m, u64* s) { from_mont(s, m, FR); }
+inline void std_to_mont(const u64* s, u64* m) { to_mont(m, s, FR); }
+
+inline bool run_hint(long long h) {
+    const SolverProgram& P = g_prog;
+    int kind = P.h_kind[h];
+    long long is = P.h_in_start[h], ic = P.h_in_count[h];
+    long long os = P.h_out_start[h], oc = P.h_out_count[h];
+    // evaluate inputs to standard form
+    std::vector<u64> in_std(4 * (size_t)(ic > 0 ? ic : 1));
+    for (long long i = 0; i < ic; ++i) {
+        u64 m[4];
+        if (!eval_lc_id(is + i, m)) return false;
+        mont_to_std(m, in_std.data() + 4 * i);
+    }
+    auto out_std = [&](long long j, const u64* s) {
+        u64 m[4];
+        std_to_mont(s, m);
+        set_wire(P.out_wires[os + j], m);
+    };
+    switch (kind) {
+    case 0: {                                 // bits
+        const u64* x = in_std.data();
+        for (long long j = 0; j < oc; ++j) {
+            u64 bit[4] = {(x[j >> 6] >> (j & 63)) & 1, 0, 0, 0};
+            out_std(j, bit);
+        }
+        break;
+    }
+    case 1: {                                 // limbs, W = p0
+        long long W = P.h_p0[h];
+        const u64* x = in_std.data();
+        for (long long j = 0; j < oc; ++j) {
+            u64 limb[4] = {0, 0, 0, 0};
+            long long lo = W * j;
+            for (long long bit = 0; bit < W; ++bit) {
+                long long src = lo + bit;
+                if (src < 256 && ((x[src >> 6] >> (src & 63)) & 1))
+                    limb[bit >> 6] |= 1ull << (bit & 63);
+            }
+            out_std(j, limb);
+        }
+        break;
+    }
+    case 2: {                                 // iszero: [inv|0, v==0]
+        const u64* x = in_std.data();
+        u64 inv[4], flag[4] = {0, 0, 0, 0};
+        inv_mod(inv, x, FR);
+        if (is_zero4(x)) flag[0] = 1;
+        out_std(0, inv);
+        out_std(1, flag);
+        break;
+    }
+    case 3: {                                 // divmod by u64 divisor
+        const u64* x = in_std.data();
+        const u64* dv = in_std.data() + 4;
+        if (dv[1] || dv[2] || dv[3] || dv[0] == 0) {
+            g_state.err_code = 4;
+            return false;
+        }
+        u64 d = dv[0], q[4], rem = 0;
+        for (int i = 3; i >= 0; --i) {
+            u128 cur = ((u128)rem << 64) | x[i];
+            q[i] = (u64)(cur / d);
+            rem = (u64)(cur % d);
+        }
+        u64 r4[4] = {rem, 0, 0, 0};
+        out_std(0, q);
+        out_std(1, r4);
+        break;
+    }
+    case 4: {                                 // table_out: tid p0, bound p1
+        long long tid = P.h_p0[h], bound = P.h_p1[h];
+        const u64* q = in_std.data();
+        u64 res[4] = {0, 0, 0, 0};
+        if (!(q[1] | q[2] | q[3]) && (long long)q[0] < bound) {
+            long long lcid = P.tbl_lc_ids[P.tbl_start[tid] + (long long)q[0]];
+            u64 m[4];
+            if (!eval_lc_id(lcid, m)) return false;
+            set_wire(P.out_wires[os], m);
+            break;
+        }
+        out_std(0, res);
+        break;
+    }
+    case 5: {                                 // table_mult: T = p1
+        long long T = P.h_p1[h];
+        std::vector<u64> counts((size_t)T, 0);
+        for (long long i = 0; i < ic; ++i) {
+            const u64* q = in_std.data() + 4 * i;
+            if (!(q[1] | q[2] | q[3]) && (long long)q[0] < T)
+                counts[(size_t)q[0]]++;
+        }
+        for (long long j = 0; j < oc; ++j) {
+            u64 c4[4] = {counts[(size_t)j], 0, 0, 0};
+            out_std(j, c4);
+        }
+        break;
+    }
+    case 6: {                                 // invfrac_batch
+        long long k = ic / 2;
+        // prefix products of nonzero denominators (standard -> mont)
+        std::vector<u64> dens_m(4 * (size_t)k);
+        std::vector<u64> prefix(4 * (size_t)(k + 1));
+        u64 one_m[4];
+        u64 one_s[4] = {1, 0, 0, 0};
+        std_to_mont(one_s, one_m);
+        std::memcpy(prefix.data(), one_m, 32);
+        for (long long i = 0; i < k; ++i) {
+            std_to_mont(in_std.data() + 4 * (k + i), dens_m.data() + 4 * i);
+            const u64* d = dens_m.data() + 4 * i;
+            if (is_zero4(in_std.data() + 4 * (k + i)))
+                std::memcpy(prefix.data() + 4 * (i + 1),
+                            prefix.data() + 4 * i, 32);
+            else
+                mont_mul(prefix.data() + 4 * (i + 1),
+                         prefix.data() + 4 * i, d, FR);
+        }
+        // ONE inversion of the total product
+        u64 tot_std[4], inv_std[4], inv_m[4];
+        mont_to_std(prefix.data() + 4 * k, tot_std);
+        inv_mod(inv_std, tot_std, FR);
+        std_to_mont(inv_std, inv_m);
+        for (long long i = k - 1; i >= 0; --i) {
+            u64 res[4] = {0, 0, 0, 0};
+            if (!is_zero4(in_std.data() + 4 * (k + i))) {
+                u64 di[4], num_m[4];
+                mont_mul(di, prefix.data() + 4 * i, inv_m, FR);
+                mont_mul(inv_m, inv_m, dens_m.data() + 4 * i, FR);
+                std_to_mont(in_std.data() + 4 * i, num_m);
+                mont_mul(res, num_m, di, FR);
+                u64 s[4];
+                mont_to_std(res, s);
+                out_std(i, s);
+                continue;
+            }
+            out_std(i, res);
+        }
+        break;
+    }
+    default:
+        g_state.err_code = 4;
+        return false;
+    }
+    return true;
+}
+
+// returns: count of unknown wires in [start,start+n) terms; records the
+// last unknown's (term index)
+inline int scan_unknown(long long t0, long long n, long long& upos) {
+    int cnt = 0;
+    for (long long k = t0; k < t0 + n; ++k) {
+        if (!g_state.known[g_prog.term_vars[k]]) {
+            ++cnt;
+            upos = k;
+        }
+    }
+    return cnt;
+}
+
+inline bool eval_terms_m(long long t0, long long n, u64* out,
+                         long long skip = -1) {
+    u64 acc[4] = {0, 0, 0, 0};
+    for (long long k = t0; k < t0 + n; ++k) {
+        if (k == skip) continue;
+        u64 p[4];
+        mont_mul(p, g_prog.pool_mont.data() + 4 * g_prog.term_cids[k],
+                 g_state.val.data() + 4 * g_prog.term_vars[k], FR);
+        add_mod(acc, acc, p, FR);
+    }
+    std::memcpy(out, acc, 32);
+    return true;
+}
+
+// inverse of a Montgomery-form value, result in Montgomery form
+inline void inv_mont(u64* out_m, const u64* a_m) {
+    u64 s[4], is[4];
+    from_mont(s, a_m, FR);
+    inv_mod(is, s, FR);
+    to_mont(out_m, is, FR);
+}
+
+// w = diff / coeff (all Montgomery); fast paths for coeff == +-1 (the
+// overwhelmingly common defining-constraint coefficients)
+inline void solve_div(u64* w, const u64* diff, const u64* coeff_m) {
+    static u64 one_m[4], neg_one_m[4];
+    static bool init = false;
+    if (!init) {
+        u64 one_s[4] = {1, 0, 0, 0};
+        to_mont(one_m, one_s, FR);
+        u64 neg_s[4];
+        sub4(neg_s, FR.mod, one_s);
+        to_mont(neg_one_m, neg_s, FR);
+        init = true;
+    }
+    if (std::memcmp(coeff_m, one_m, 32) == 0) {
+        std::memcpy(w, diff, 32);
+        return;
+    }
+    if (std::memcmp(coeff_m, neg_one_m, 32) == 0) {
+        u64 z[4] = {0, 0, 0, 0};
+        sub_mod(w, z, diff, FR);
+        return;
+    }
+    u64 ci[4];
+    inv_mont(ci, coeff_m);
+    mont_mul(w, diff, ci, FR);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load the program (pointers must stay valid until zk_solver_free).
+void zk_solver_load(
+    long long n_cons, const uint32_t* lens, const uint32_t* term_vars,
+    const uint32_t* term_cids, const u64* pool_std, long long n_pool,
+    long long n_hints, const long long* h_pos, const int* h_kind,
+    const long long* h_p0, const long long* h_p1,
+    const long long* h_in_start, const long long* h_in_count,
+    const long long* h_out_start, const long long* h_out_count,
+    const uint32_t* out_wires,
+    const long long* lc_terms_start, const long long* lc_terms_count,
+    const uint32_t* lc_const_cid, const uint32_t* lc_vars,
+    const uint32_t* lc_cids,
+    const long long* tbl_start, const long long* tbl_lc_ids,
+    long long n_tables, long long n_vars) {
+    g_prog = SolverProgram();
+    g_prog.n_cons = n_cons;
+    g_prog.lens = lens;
+    g_prog.term_vars = term_vars;
+    g_prog.term_cids = term_cids;
+    g_prog.n_pool = n_pool;
+    g_prog.pool_mont.resize(4 * (size_t)n_pool);
+    for (long long i = 0; i < n_pool; ++i)
+        to_mont(g_prog.pool_mont.data() + 4 * i, pool_std + 4 * i, FR);
+    g_prog.n_hints = n_hints;
+    g_prog.h_pos = h_pos; g_prog.h_kind = h_kind;
+    g_prog.h_p0 = h_p0; g_prog.h_p1 = h_p1;
+    g_prog.h_in_start = h_in_start; g_prog.h_in_count = h_in_count;
+    g_prog.h_out_start = h_out_start; g_prog.h_out_count = h_out_count;
+    g_prog.out_wires = out_wires;
+    g_prog.lc_terms_start = lc_terms_start;
+    g_prog.lc_terms_count = lc_terms_count;
+    g_prog.lc_const_cid = lc_const_cid;
+    g_prog.lc_vars = lc_vars; g_prog.lc_cids = lc_cids;
+    g_prog.tbl_start = tbl_start; g_prog.tbl_lc_ids = tbl_lc_ids;
+    g_prog.n_tables = n_tables;
+    g_state = SolverState();
+    g_state.n_vars = n_vars;
+    g_state.val.assign(4 * (size_t)n_vars, 0);
+    g_state.known.assign((size_t)n_vars, 0);
+    // wire 0 == 1
+    u64 one_s[4] = {1, 0, 0, 0};
+    u64 one_m[4];
+    to_mont(one_m, one_s, FR);
+    set_wire(0, one_m);
+}
+
+// Set input wires [1, 1+n) from standard-form values.
+void zk_solver_set_inputs(const u64* vals_std, long long n, long long base) {
+    for (long long i = 0; i < n; ++i) {
+        u64 m[4];
+        to_mont(m, vals_std + 4 * i, FR);
+        set_wire((uint32_t)(base + i), m);
+    }
+}
+
+void zk_solver_set_wire(long long w, const u64* val_std) {
+    u64 m[4];
+    to_mont(m, val_std, FR);
+    set_wire((uint32_t)w, m);
+}
+
+// Solve constraints [from_con, to_con); returns 0 on success, else the
+// error code (err index via zk_solver_err).
+int zk_solver_run(long long from_con, long long to_con) {
+    const SolverProgram& P = g_prog;
+    long long off;
+    if (from_con == 0) {
+        off = 0;
+    } else if (from_con == g_state.cached_con) {
+        off = g_state.cached_off;
+    } else {
+        off = 0;
+        for (long long i = 0; i < 3 * from_con; ++i) off += P.lens[i];
+    }
+    // fast-forward hints below from_con (already run)
+    while (g_state.next_hint < P.n_hints
+           && P.h_pos[g_state.next_hint] < from_con)
+        ++g_state.next_hint;
+    for (long long ci = from_con; ci < to_con; ++ci) {
+        while (g_state.next_hint < P.n_hints
+               && P.h_pos[g_state.next_hint] <= ci) {
+            if (P.h_pos[g_state.next_hint] < ci) { ++g_state.next_hint;
+                                                   continue; }
+            if (!run_hint(g_state.next_hint)) {
+                if (!g_state.err_code) g_state.err_code = 4;
+                g_state.err_con = ci;
+                return g_state.err_code;
+            }
+            ++g_state.next_hint;
+        }
+        long long na = P.lens[3 * ci], nb = P.lens[3 * ci + 1],
+                  nc = P.lens[3 * ci + 2];
+        long long a0 = off, b0 = off + na, c0 = off + na + nb;
+        off += na + nb + nc;
+        long long ua = -1, ub = -1, uc = -1;
+        int ca = scan_unknown(a0, na, ua);
+        int cb = scan_unknown(b0, nb, ub);
+        int cc = scan_unknown(c0, nc, uc);
+        int total = ca + cb + cc;
+        u64 av[4], bv[4], cv[4];
+        if (total == 0) {
+            eval_terms_m(a0, na, av);
+            eval_terms_m(b0, nb, bv);
+            eval_terms_m(c0, nc, cv);
+            u64 ab[4];
+            mont_mul(ab, av, bv, FR);
+            if (std::memcmp(ab, cv, 32) != 0) {
+                g_state.err_code = 1;
+                g_state.err_con = ci;
+                return 1;
+            }
+            continue;
+        }
+        if (total > 1) {
+            g_state.err_code = 2;
+            g_state.err_con = ci;
+            return 2;
+        }
+        // solve for the single unknown
+        u64 coeff[4], w_m[4];
+        if (cc == 1) {
+            // A*B = c_known + coeff*w  ->  w = (A*B - c_known)/coeff
+            eval_terms_m(a0, na, av);
+            eval_terms_m(b0, nb, bv);
+            eval_terms_m(c0, nc, cv, uc);
+            u64 ab[4], diff[4];
+            mont_mul(ab, av, bv, FR);
+            sub_mod(diff, ab, cv, FR);
+            std::memcpy(coeff, P.pool_mont.data() + 4 * P.term_cids[uc], 32);
+            solve_div(w_m, diff, coeff);
+            set_wire(P.term_vars[uc], w_m);
+        } else if (ca == 1) {
+            // (a_known + coeff*w)*B = C  ->  w = (C/B - a_known)/coeff
+            eval_terms_m(b0, nb, bv);
+            if (is_zero4(bv)) { g_state.err_code = 3;
+                                g_state.err_con = ci; return 3; }
+            eval_terms_m(c0, nc, cv);
+            eval_terms_m(a0, na, av, ua);
+            u64 binv[4], t[4], diff[4];
+            inv_mont(binv, bv);
+            mont_mul(t, cv, binv, FR);
+            sub_mod(diff, t, av, FR);
+            std::memcpy(coeff, P.pool_mont.data() + 4 * P.term_cids[ua], 32);
+            solve_div(w_m, diff, coeff);
+            set_wire(P.term_vars[ua], w_m);
+        } else {
+            // A*(b_known + coeff*w) = C
+            eval_terms_m(a0, na, av);
+            if (is_zero4(av)) { g_state.err_code = 3;
+                                g_state.err_con = ci; return 3; }
+            eval_terms_m(c0, nc, cv);
+            eval_terms_m(b0, nb, bv, ub);
+            u64 ainv[4], t[4], diff[4];
+            inv_mont(ainv, av);
+            mont_mul(t, cv, ainv, FR);
+            sub_mod(diff, t, bv, FR);
+            std::memcpy(coeff, P.pool_mont.data() + 4 * P.term_cids[ub], 32);
+            solve_div(w_m, diff, coeff);
+            set_wire(P.term_vars[ub], w_m);
+        }
+    }
+    g_state.cached_con = to_con;
+    g_state.cached_off = off;
+    // run hints scheduled exactly at to_con? they belong to the next run.
+    return 0;
+}
+
+long long zk_solver_err_index(void) { return g_state.err_con; }
+
+// Run hints [next_hint, hint_idx) regardless of constraint position —
+// drains boundary-positioned hints (multiplicities) before the
+// commitment gather.
+int zk_solver_run_hints_until(long long hint_idx) {
+    while (g_state.next_hint < hint_idx
+           && g_state.next_hint < g_prog.n_hints) {
+        if (!run_hint(g_state.next_hint)) {
+            if (!g_state.err_code) g_state.err_code = 4;
+            return g_state.err_code;
+        }
+        ++g_state.next_hint;
+    }
+    return 0;
+}
+
+// Read wires [w0, w0+n) to standard form.
+void zk_solver_get(long long w0, long long n, u64* out_std) {
+    for (long long i = 0; i < n; ++i)
+        from_mont(out_std + 4 * i, g_state.val.data() + 4 * (w0 + i), FR);
+}
+
+// Gather arbitrary wires to standard form.
+void zk_solver_gather(const long long* wires, long long n, u64* out_std) {
+    for (long long i = 0; i < n; ++i)
+        from_mont(out_std + 4 * i, g_state.val.data() + 4 * wires[i], FR);
 }
 
 }  // extern "C"

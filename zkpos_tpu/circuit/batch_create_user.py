@@ -131,6 +131,9 @@ def _integer_division_hint(ins):
     return [dividend // divisor, dividend % divisor]
 
 
+_integer_division_hint._native = ("divmod",)
+
+
 def _check_and_get_integer_division_res(cs, dividend):
     """circuit/utils.go:166-177 (divide by PercentageMultiplier=100)."""
     q, rem = cs.new_hint(_integer_division_hint, 2, dividend,
@@ -535,6 +538,38 @@ def define(cs: ConstraintSystem, w: BatchCreateUserCircuitW,
         _fill_cex_asset_commitment(cs, full, j, counts, tmp_after)
     actual_after = poseidon_gadget(cs, tmp_after)
     cs.assert_is_equal(actual_after, after_cex_comm)
+
+
+def input_vector(w: BatchCreateUserCircuitW) -> List[int]:
+    """Flatten an assignment into input-wire values in EXACTLY define()'s
+    allocation order (public first).  Feeds the native two-pass solver
+    (circuit/solver_native.py) without re-running the circuit in Python;
+    tests assert parity against the eager solve."""
+    out: List[int] = [w.batch_commitment, w.account_tree_root,
+                      w.before_cex_assets_commitment,
+                      w.after_cex_assets_commitment,
+                      w.min_account_index, w.max_account_index]
+    for a in w.before_cex_assets:
+        out += [a.total_equity, a.total_debt, a.base_price,
+                a.loan_collateral, a.margin_collateral,
+                a.portfolio_margin_collateral]
+        for ratios in (a.loan_ratios, a.margin_ratios,
+                       a.portfolio_margin_ratios):
+            for r in ratios:
+                out += [r.boundary_value, r.ratio, r.precomputed_value]
+    for op in w.create_user_ops:
+        for ua in op.assets:
+            out += [ua.asset_index,
+                    ua.loan_collateral_index, ua.loan_collateral_flag,
+                    ua.margin_collateral_index, ua.margin_collateral_flag,
+                    ua.portfolio_margin_collateral_index,
+                    ua.portfolio_margin_collateral_flag]
+        for m in op.assets_for_update_cex:
+            out += [m.equity, m.debt, m.loan_collateral,
+                    m.margin_collateral, m.portfolio_margin_collateral]
+        out += [op.account_index, op.account_id_hash]
+        out += list(op.account_proof)
+    return out
 
 
 # --- witness adapter (SetBatchCreateUserCircuitWitness, :334-436) ------------

@@ -289,7 +289,13 @@ class ConstraintSystem:
 
     def new_hint(self, fn: Callable, n_out: int, *ins: VarLike) -> List[LC]:
         """Out-of-circuit computed values (gnark solver hints,
-        prover.go:68).  fn(list_of_int_inputs) -> list_of_int_outputs."""
+        prover.go:68).  fn(list_of_int_inputs) -> list_of_int_outputs.
+
+        In compile mode each hint records its schedule position (number of
+        constraints emitted so far) so the native two-pass solver
+        (circuit/solver_native.py) can replay hints in program order.
+        Hint closures carrying a `_native` tag get a C++ implementation;
+        untagged hints fall back to a python callback."""
         in_lcs = [_as_lc(v) for v in ins]
         if self.solve:
             outs = fn([self.eval_lc(v) for v in in_lcs])
@@ -297,7 +303,9 @@ class ConstraintSystem:
                 raise ValueError("hint output arity mismatch")
             return [self._internal(int(o) % MOD) for o in outs]
         out_vars = [self._internal(None) for _ in range(n_out)]
-        self.hints.append((fn, in_lcs, [next(iter(o.terms)) for o in out_vars]))
+        self.hints.append((fn, in_lcs,
+                           [next(iter(o.terms)) for o in out_vars],
+                           len(self.constraints)))
         return out_vars
 
     def is_zero(self, a: VarLike) -> LC:
@@ -307,6 +315,7 @@ class ConstraintSystem:
             v = ins[0]
             return [pow(v, MOD - 2, MOD) if v else 0, 1 if v == 0 else 0]
 
+        inv_hint._native = ("iszero",)
         inv, b = self.new_hint(inv_hint, 2, a)
         # b == 1 - a*inv ; a*b == 0
         self._emit(a, inv, self.sub(1, b))
@@ -330,6 +339,7 @@ class ConstraintSystem:
             x = ins[0]
             return [(x >> i) & 1 for i in range(nbits)]
 
+        bits_hint._native = ("bits", nbits)
         bits = self.new_hint(bits_hint, nbits, v)
         acc = LC()
         for i, b in enumerate(bits):
@@ -360,6 +370,7 @@ class ConstraintSystem:
             x = ins[0]
             return [(x >> (W * i)) & ((1 << W) - 1) for i in range(n_limbs)]
 
+        limbs_hint._native = ("limbs", W)
         limbs = self.new_hint(limbs_hint, n_limbs, v)
         table.lookup(*limbs)
         if rem < W:
@@ -473,10 +484,22 @@ class ConstraintSystem:
                 if len(bases) != len(wire_ids):
                     raise ValueError("commitment key length mismatch")
                 zs = [self.values[w] for w in wire_ids]
-                if len(bases) > 1024:
+                from ..ops import msm as _msm
+                if len(bases) > 1024 and not _msm._host_only():
                     # device MSM: the host loop costs ~1ms per scalar mul
-                    # and transcripts run to 10^5-10^6 committed wires
-                    from ..ops import msm as _msm
+                    # and transcripts run to 10^5-10^6 committed wires.
+                    # uint8 bases are cached on the commitment key so the
+                    # prover service uploads them once per tier.
+                    from ..ops import msm_device as _md
+                    db = self._commit_key.get("_dev_bases")
+                    if db is None:
+                        db = (_md.device_base("g1", bases),
+                              _md.device_base("g1", sigma_bases))
+                        self._commit_key["_dev_bases"] = db
+                    plan = _md.ScalarPlan(zs)
+                    d_pt = _md.msm("g1", db[0], plan=plan)
+                    pok = _md.msm("g1", db[1], plan=plan)
+                elif len(bases) > 1024:
                     d_pt = _msm.msm_g1(bases, zs)
                     pok = _msm.msm_g1(sigma_bases, zs)
                 else:
@@ -490,6 +513,11 @@ class ConstraintSystem:
                 from ..groth16.hash_to_field import bsb22_challenge
                 cval = bsb22_challenge(d_pt)
                 self._commit_result = (d_pt, pok, cval)
+        # phase boundary for the native two-pass solver: everything below
+        # this constraint index (and hint index — multiplicity hints sit
+        # exactly at the boundary) is solvable before the commitment exists
+        self._solver_commit_boundary = len(self.constraints)
+        self._solver_commit_hint_boundary = len(self.hints)
         c = self._internal(cval)
         self.commitment = {"wires": wire_ids,
                            "challenge": next(iter(c.terms))}

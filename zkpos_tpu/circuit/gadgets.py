@@ -199,6 +199,15 @@ class LookupTable:
         self.q_idx: List[LC] = []
         self.q_out: List[LC] = []
         self._finalized = False
+        # table registry for the native two-pass solver
+        # (circuit/solver_native.py): table_out/table_mult hints reference
+        # tables by id; entries are complete before the first lookup in
+        # every circuit here, and each out-hint additionally records the
+        # entry count at its creation to replicate eager semantics.
+        if not hasattr(cs, "_tables"):
+            cs._tables = []
+        self.table_id = len(cs._tables)
+        cs._tables.append(self)
         cs.register_finalizer(self._finalize)
 
     def insert(self, v: VarLike) -> None:
@@ -216,13 +225,15 @@ class LookupTable:
         outs = []
         for q in queries:
             q = _as_lc(q)
+            bound = len(self.entries)
 
-            def out_hint(ins):
+            def out_hint(ins, _bound=bound):
                 idx = ins[0]
-                if idx >= len(self.entries):
+                if idx >= _bound:
                     return [0]
                 return [cs.eval_lc(self.entries[idx])]
 
+            out_hint._native = ("table_out", self.table_id, bound)
             (o,) = cs.new_hint(out_hint, 1, q)
             self.q_idx.append(q)
             self.q_out.append(o)
@@ -253,6 +264,7 @@ class LookupTable:
                     m[idx] += 1
             return m
 
+        mult_hint._native = ("table_mult", self.table_id, T)
         self.ms = cs.new_hint(mult_hint, T, *self.q_idx)
         wires = [e for e in self.entries if not e.is_const()]
         wires += self.q_idx + self.q_out + self.ms
@@ -267,23 +279,48 @@ class LookupTable:
         alpha = poseidon_gadget(cs, [c, table_index])
         beta = poseidon_gadget(cs, [alpha])
 
-        def inv_hint(ins):
-            num, den = ins
-            return [num * pow(den, MOD - 2, MOD) % MOD if den else 0]
+        def inv_batch_hint(ins):
+            """Fractions num_i/den_i in one hint: ONE field inversion via
+            the Montgomery batch trick instead of one powmod per element
+            (the per-element form dominated solve time at production table
+            sizes)."""
+            k = len(ins) // 2
+            nums, dens = ins[:k], ins[k:]
+            prefix = [1] * (k + 1)
+            for i, d in enumerate(dens):
+                prefix[i + 1] = prefix[i] * (d if d else 1) % MOD
+            inv_total = pow(prefix[k], MOD - 2, MOD)
+            out = [0] * k
+            for i in range(k - 1, -1, -1):
+                if dens[i]:
+                    out[i] = nums[i] * prefix[i] % MOD * inv_total % MOD
+                    inv_total = inv_total * dens[i] % MOD
+            return out
 
-        lhs_terms: dict = {}
+        inv_batch_hint._native = ("invfrac_batch",)
+
+        # phase A: all keys/denominators first, ONE batched inverse hint
+        # per side, then the product checks — same constraints as the
+        # per-element form, reordered for batch inversion.
+        lhs_d = []
         for i, t in enumerate(self.entries):
             key = cs.add(cs.mul(beta, t), i)
-            d = cs.sub(alpha, key)
-            (v,) = cs.new_hint(inv_hint, 1, ms[i], d)
+            lhs_d.append(cs.sub(alpha, key))
+        vs = cs.new_hint(inv_batch_hint, len(self.entries),
+                         *(list(ms) + lhs_d))
+        lhs_terms: dict = {}
+        for i, (v, d) in enumerate(zip(vs, lhs_d)):
             cs.assert_product(v, d, ms[i])
             (vv, vc), = v.terms.items()
             lhs_terms[vv] = lhs_terms.get(vv, 0) + vc
-        rhs_terms: dict = {}
+        rhs_d = []
         for q, o in zip(self.q_idx, self.q_out):
             key = cs.add(cs.mul(beta, o), q)
-            d = cs.sub(alpha, key)
-            (u,) = cs.new_hint(inv_hint, 1, LC(const=1), d)
+            rhs_d.append(cs.sub(alpha, key))
+        ones = [LC(const=1)] * len(rhs_d)
+        us = cs.new_hint(inv_batch_hint, len(rhs_d), *(ones + rhs_d))
+        rhs_terms: dict = {}
+        for u, d in zip(us, rhs_d):
             cs.assert_product(u, d, LC(const=1))
             (uv, uc), = u.terms.items()
             rhs_terms[uv] = rhs_terms.get(uv, 0) + uc

@@ -170,13 +170,33 @@ def _h_fn(d: int):
 
 
 def compute_h_device(cs, z_ints, d: int):
-    """H(X) coefficients of (A·B − C)/Z as a python int list (len d-1)."""
-    z_mont = jnp.asarray(FR.ints_to_digits(
-        [(v * FR.r_mont) % MOD for v in z_ints]))
+    """H(X) coefficients of (A·B − C)/Z.
+
+    `z_ints`: python int list (returns an int list) or (N, 4) uint64
+    standard-form limb rows from the native solver (returns a (d-1, 4)
+    uint64 array — the whole pipeline stays out of python bigints)."""
+    from ..utils import native as natv
+    as_limbs = isinstance(z_ints, np.ndarray)
+    if as_limbs:
+        # standard form -> the digit engine's 2^272 Montgomery domain:
+        # one CIOS against 2^(272+256) mod r
+        mont = natv.mul_const_batch(z_ints, pow(2, 272 + 256, MOD), MOD)
+        z_mont = jnp.asarray(natv.u256_to_digits(mont))
+    else:
+        z_mont = jnp.asarray(FR.ints_to_digits(
+            [(v * FR.r_mont) % MOD for v in z_ints]))
     av = eval_matrix_device(cs, z_mont, 0, d)
     bv = eval_matrix_device(cs, z_mont, 1, d)
     cv = eval_matrix_device(cs, z_mont, 2, d)
     h = _h_fn(d)(av, bv, cv)
+    if as_limbs:
+        hm = natv.digits_to_u256(np.asarray(h, dtype=np.float64))
+        # 2^272 Montgomery domain -> standard: CIOS against 2^-16
+        out = natv.mul_const_batch(
+            hm, pow(pow(2, 16, MOD), MOD - 2, MOD), MOD)
+        if out[d - 1].any():
+            raise ValueError("H degree too large — unsatisfied constraints?")
+        return out[:d - 1]
     rinv = pow(FR.r_mont, MOD - 2, MOD)
     out = [(v * rinv) % MOD for v in FR.digits_to_ints(np.asarray(h))]
     if out[d - 1] != 0:

@@ -141,6 +141,8 @@ class Fd32:
             n = 1
             for s in B:
                 n *= s
+            if n == 0:      # associative_scan probes zero-length slices
+                return jnp.zeros((NCONV,) + B, dtype=jnp.float32)
             lhs = a.reshape(NDIGITS, n).T[None]          # (1, n, 34)
             rhs = b.reshape(NDIGITS, n).T[:, None, ::-1]  # (n, 1, 34)
             out = jax.lax.conv_general_dilated(

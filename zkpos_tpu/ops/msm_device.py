@@ -98,7 +98,7 @@ def _combine_seg(na: int):
         fa, pa = a[0], a[1:]
         fb, pb = b[0], b[1:]
         s = _padd(na, pa, pb)
-        return (fa | fb,) + _select(fb, pb, s)
+        return (fa | fb,) + _select(fb[0], pb, s)   # fb: (1, W, L)
 
     return combine
 
@@ -112,11 +112,18 @@ def _combine_sum(na: int):
 # --- host window decomposition ----------------------------------------------
 
 def windows_of(scalars, c: int) -> np.ndarray:
-    """(W, N) uint16 c-bit little-endian window digits (c <= 16)."""
+    """(W, N) uint16 c-bit little-endian window digits (c <= 16).
+    `scalars`: iterable of ints (reduced mod r) or an (N, 4) uint64
+    little-endian limb array in standard form (native-solver output)."""
     if c > 16:
         raise ValueError("window width capped at 16 for uint16 transfer")
-    N = len(scalars)
-    buf = b"".join(int(s % bn.R).to_bytes(32, "little") for s in scalars)
+    if isinstance(scalars, np.ndarray):
+        N = scalars.shape[0]
+        buf = np.ascontiguousarray(scalars, dtype="<u8").tobytes()
+    else:
+        N = len(scalars)
+        buf = b"".join(int(s % bn.R).to_bytes(32, "little")
+                       for s in scalars)
     by = np.frombuffer(buf, dtype=np.uint8).reshape(N, 32).astype(np.uint32)
     W = -(-254 // c)
     out = np.zeros((W, N), dtype=np.uint16)
@@ -165,14 +172,13 @@ def _chunk_fn(na: int, W: int, Cn: int, c: int):
         sdig = jax.lax.dynamic_slice(sdig_all, (0, start), (W, Cn))
         sidx = jax.lax.dynamic_slice(sidx_all, (0, start), (W, Cn))
         pts = tuple(jnp.take(a, sidx.reshape(-1), axis=1)
-                    .reshape(34, W, Cn) for a in base)
+                    .reshape(34, W, Cn).astype(jnp.float32) for a in base)
         # fold the carry point into position 0 when its segment continues
         cont = (sdig[:, 0] == carry_dig)                      # (W,)
         first = tuple(a[:, :, 0:1] for a in pts)
         cpt = tuple(a.reshape(34, W, 1) for a in carry_pt)
         merged = _padd(na, first, cpt)
-        first = _select(cont[None, :, None][0][None, :, :] if False
-                        else cont[:, None], merged, first)
+        first = _select(cont[:, None], merged, first)
         pts = tuple(jnp.concatenate([f, a[:, :, 1:]], axis=2)
                     for f, a in zip(first, pts))
         heads = jnp.concatenate(
@@ -244,36 +250,70 @@ def _fold_fn(na: int, W: int, c: int):
     return run
 
 
+def device_base(curve: str, points) -> tuple:
+    """Upload an MSM base as uint8 digit arrays (34, P), identity at
+    column 0 — canonical base-256 digits fit a byte, so pk residency and
+    host->device transfer are 4x smaller than the f32 layout (the 12 GB
+    gnark pk analog, reference prover.go:285-367).  The chunk kernel
+    casts gathered columns to f32."""
+    from ..utils import native
+    from .fd32 import FP
+    na = 3 if curve == "g1" else 6
+    if curve == "g1":
+        cols = [[0 if p is None else p[0] for p in points],
+                [1 if p is None else p[1] for p in points]]
+        zc = [0 if p is None else 1 for p in points]
+        comps = [cols[0], cols[1], zc]
+    else:
+        comps = [[], [], [], [], [], []]
+        for p in points:
+            vals = ((0, 0, 1, 0, 0, 0) if p is None else
+                    (p[0].c0, p[0].c1, p[1].c0, p[1].c1, 1, 0))
+            for k, v in enumerate(vals):
+                comps[k].append(v)
+    # prepend identity column: (0 : 1 : 0).  Columns quantized to 4k steps
+    # (not pow2 — a 2^21+1 base would double its HBM under pow2ceil).
+    id_vals = [0, 1, 0] if na == 3 else [0, 0, 1, 0, 0, 0]
+    P = -(-(len(points) + 1) // 4096) * 4096
+    out = []
+    for k, vals in enumerate(comps):
+        mont = [(v * FP.r_mont) % FP.modulus
+                for v in ([id_vals[k]] + list(vals))]
+        dig = FP.ints_to_digits(mont)               # (34, n+1) f32 canonical
+        arr = np.zeros((34, P), dtype=np.uint8)
+        arr[:, :dig.shape[1]] = dig.astype(np.uint8)
+        out.append(jnp.asarray(arr))
+    return tuple(out)
+
+
 # --- public API ---------------------------------------------------------------
 
 class ScalarPlan:
     """Window digits of one scalar vector, uploaded once and shared by
     every MSM over the same scalars (A/B1/B2 in groth16.prove)."""
 
-    __slots__ = ("n", "c", "W", "K", "Np", "dig_dev", "idx_dev")
+    __slots__ = ("n", "c", "W", "K", "Cn", "Np", "dig_dev", "idx_dev")
 
     def __init__(self, scalars, c: Optional[int] = None, chunk: int = 0):
-        self.n = len(scalars)
+        self.n = (scalars.shape[0] if isinstance(scalars, np.ndarray)
+                  else len(scalars))
         self.c = c if c is not None else pick_c(max(self.n, 2))
         win = windows_of(scalars, self.c)
         self.W = win.shape[0]
         nz = (win != 0).sum(axis=1)
-        self.K = int(nz.max()) if len(nz) else 0
+        self.K = int(nz.max()) if nz.size else 0
         Cn = chunk or _chunk_cols(self.W)
-        n_chunks = max(1, -(-self.K // Cn)) if self.K else 0
-        Np = max(n_chunks * Cn, 0)
-        if Np < self.n:
-            n_chunks = -(-self.n // Cn)
-            Np = n_chunks * Cn
-        self.Np = Np
+        self.Cn = min(Cn, _pow2ceil(max(self.n, 256)))
+        self.Np = -(-max(self.n, 1) // self.Cn) * self.Cn
         if self.K == 0:
             self.dig_dev = self.idx_dev = None
             return
-        pad = Np - self.n
+        pad = self.Np - self.n
         dig = np.pad(win, ((0, 0), (pad, 0))).astype(np.int32)
-        idx = np.zeros((self.W, Np), dtype=np.int32)
+        idx = np.zeros((self.W, self.Np), dtype=np.int32)
         idx[:, pad:] = np.arange(1, self.n + 1, dtype=np.int32)[None]
-        sd, si = _sort_fn(self.W, Np)(jnp.asarray(dig), jnp.asarray(idx))
+        sd, si = _sort_fn(self.W, self.Np)(jnp.asarray(dig),
+                                           jnp.asarray(idx))
         self.dig_dev, self.idx_dev = sd, si
 
 
@@ -281,9 +321,8 @@ def _chunk_cols(W: int) -> int:
     """Columns per chunk: targets ~2^20 stream entries per dispatch
     (ZKPOS_MSM_CHUNK env overrides the entry budget)."""
     budget = int(os.environ.get("ZKPOS_MSM_CHUNK", str(1 << 20)))
-    return max(256, _pow2ceil(max(budget // max(W, 1), 1) // 2 + 1) // 1) \
-        if False else max(256, 1 << max(8, (budget // max(W, 1))
-                                        .bit_length() - 1))
+    per_row = max(budget // max(W, 1), 256)
+    return 1 << (per_row.bit_length() - 1)      # floor pow2
 
 
 def msm(curve: str, base, scalars=None, plan: Optional[ScalarPlan] = None):
@@ -297,8 +336,8 @@ def msm(curve: str, base, scalars=None, plan: Optional[ScalarPlan] = None):
         plan = ScalarPlan(scalars)
     if plan.K == 0:
         return None
-    Cn = min(_chunk_cols(plan.W), plan.Np)
-    n_chunks = -(-min(max(plan.K, 1), plan.Np) // Cn)
+    Cn = plan.Cn
+    n_chunks = -(-plan.K // Cn)
     nb = 1 << plan.c
     ids = _id_arrs_np(na)
     dense = tuple(jnp.broadcast_to(jnp.asarray(i)[:, :, None],

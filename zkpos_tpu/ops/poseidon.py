@@ -133,6 +133,19 @@ def hash_chain_mont(inputs_mont, n: int):
 
 # --- host-facing helpers (canonical-domain ints) -----------------------------
 
+def hash_chain_fast(elements) -> int:
+    """One variadic Poseidon over a long element list (the 20*AssetCounts
+    CEX commitment, reference utils.go:779-800) as a single device
+    dispatch — the pure-Python chain cost ~10s per commitment at the
+    500-asset universe (witness hot loop, VERDICT r3 missing #3).  Short
+    inputs use the python oracle (dispatch overhead dominates)."""
+    elements = list(elements)
+    if len(elements) <= 48:
+        from ..crypto.poseidon_ref import poseidon as _pos
+        return _pos(elements)
+    return hash_batch([[e] for e in elements])[0]
+
+
 def hash_batch(inputs) -> list:
     """inputs: (n, B) rows of python ints -> list of B digest ints."""
     n = len(inputs)

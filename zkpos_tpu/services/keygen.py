@@ -62,12 +62,22 @@ def run(prefix: str, tiers=None, force: bool = False) -> None:
         t0 = time.time()
         pk, vk = g16.setup(cs)
         print(f"keygen: setup done in {time.time()-t0:.1f}s")
+        # record the native solver schedule into the artifact (what gnark's
+        # .r1cs carries: constraints + hint/solve instructions) so the
+        # prover replays batches without recompiling the circuit
+        solver_program = None
+        try:
+            from ..circuit import solver_native as sn
+            solver_program = sn.program_to_dict(sn.record_program(cs))
+        except Exception as e:       # untagged hints etc: prover falls back
+            print(f"keygen: no native solver program ({e})")
         save_artifact(r1cs_f, {"num_vars": cs.num_vars,
                                "num_public": cs.num_public,
                                "num_constraints": len(cs.constraints),
                                "range_bits": cs.range_bits,
                                "commitment": cs.commitment,
-                               "constraints": cs.constraints})
+                               "constraints": cs.constraints,
+                               "solver_program": solver_program})
         save_artifact(pk_f, pk)
         save_artifact(vk_f, vk)
         print(f"keygen: wrote {pk_f}, {vk_f}, {r1cs_f}")

@@ -42,6 +42,8 @@ class Prover:
         from ..db.redis_backend import queue_from_config
         self.queue = queue_from_config(cfg, self.db)
         self._params: Dict[int, tuple] = {}   # assets -> (cs_meta, pk, vk)
+        self._compiled: Dict[int, object] = {}   # assets -> CompiledSystem
+        self._commit_keys: Dict[int, dict] = {}  # device-base cache rides here
 
     # -- snark params ---------------------------------------------------------
 
@@ -72,23 +74,50 @@ class Prover:
         raise ValueError("no tier fits")
 
     def generate_and_verify_proof(self, wit, batch_number: int):
-        """prover.go:250-283."""
+        """prover.go:250-283.  The witness solve runs in the native VM
+        replaying the artifact's recorded solver program (gnark-style
+        .r1cs semantics); the eager python define() remains the
+        fallback."""
         assets = self._assets_tier_of(wit)
         circuit_w = bcu.set_batch_create_user_circuit_witness(wit)
         r1cs_meta, pk, vk = self.load_snark_params_once(assets)
-        cs = ConstraintSystem(solve=True,
-                              range_bits=r1cs_meta.get("range_bits", 8))
-        bcu.define(cs, circuit_w)
+        key = None
         if pk.commit_wires is not None:
-            cs.set_commitment_key({"bases": pk.ck_bases,
-                                   "sigma_bases": pk.ck_sigma_bases})
-        cs.finalize()   # deferred gadget constraints, keyed commitment
-        if len(cs.constraints) != r1cs_meta["num_constraints"]:
-            raise ValueError("constraint count mismatch vs keygen artifact")
+            key = self._commit_keys.setdefault(assets, {
+                "bases": pk.ck_bases, "sigma_bases": pk.ck_sigma_bases})
+        cs = None
+        if r1cs_meta.get("solver_program") is not None:
+            try:
+                from ..circuit import solver_native as sn
+                compiled = self._compiled.get(assets)
+                if compiled is None:
+                    compiled = sn.CompiledSystem(r1cs_meta)
+                    self._compiled[assets] = compiled
+                t0 = time.time()
+                cs = sn.solve(compiled, bcu.input_vector(circuit_w), key)
+                print(f"prover: batch {batch_number} solved (native) in "
+                      f"{time.time()-t0:.1f}s")
+            except Exception as e:
+                print(f"prover: native solve unavailable ({e}); "
+                      "falling back to python solve")
+                cs = None
+        if cs is None:
+            cs = ConstraintSystem(solve=True,
+                                  range_bits=r1cs_meta.get("range_bits", 8))
+            bcu.define(cs, circuit_w)
+            if key is not None:
+                cs.set_commitment_key(key)
+            cs.finalize()   # deferred gadget constraints, keyed commitment
+            if len(cs.constraints) != r1cs_meta["num_constraints"]:
+                raise ValueError(
+                    "constraint count mismatch vs keygen artifact")
         t0 = time.time()
         proof = g16.prove(cs, pk)
         print(f"prover: batch {batch_number} proved in {time.time()-t0:.1f}s")
-        public = [cs.values[i] for i in range(1, cs.num_public)]
+        if hasattr(cs, "public_values"):
+            public = cs.public_values()
+        else:
+            public = [cs.values[i] for i in range(1, cs.num_public)]
         if not g16.verify(proof, vk, public):
             raise ValueError("self-verify failed")
         return proof, assets, public

@@ -22,7 +22,6 @@ from ..db.storage import (Database, DbErrNotFound, ProofModel, open_database,
 from ..merkle.tree import AccountTree
 from ..utils import constants as C
 from ..utils import csv_ingest
-from ..utils.commitments import account_info_to_hash
 from ..utils.types import AccountInfo, CexAssetInfo
 from ..witness import core as wcore
 
@@ -45,7 +44,9 @@ def recover_after_cex_assets(wit) -> List[CexAssetInfo]:
     elements = []
     for a in cex:
         elements += cex_asset_elements(a)
-    if fr_to_bytes(poseidon(elements)) != wit.after_cex_assets_commitment:
+    from ..ops.poseidon import hash_chain_fast
+    if (fr_to_bytes(hash_chain_fast(elements))
+            != wit.after_cex_assets_commitment):
         raise ValueError("after cex commitment verify failed")
     return cex
 
@@ -129,11 +130,23 @@ class WitnessService:
         for k in self.accounts:
             for acc in self.accounts[k]:
                 all_accounts[acc.account_index] = acc
+        # leaf hashes batched through the device Poseidon kernels per tier
+        # (reference hot loop #1, witness main.go:163-192) instead of one
+        # python AccountInfoToHash per account
+        from ..crypto.bn254 import fr_to_bytes
+        leaves: Dict[int, bytes] = {}
+        for k in self.accounts:
+            accs = [a for a in self.accounts[k]
+                    if a.account_index >= start]
+            for chunk in range(0, len(accs), 8192):
+                sub = accs[chunk:chunk + 8192]
+                for acc, leaf in zip(sub, wcore.account_leaves(sub)):
+                    leaves[acc.account_index] = fr_to_bytes(leaf)
         rows = []
         written = 0
         for idx in range(start, self.capacity):
             acc = all_accounts[idx]
-            leaf = account_info_to_hash(acc)
+            leaf = leaves[idx]
             proof = self.tree.get_proof(idx)
             config = {
                 "AccountIndex": idx,

@@ -143,10 +143,11 @@ def _pad_cex_assets(cex_assets: List[CexAssetInfo]) -> List[CexAssetInfo]:
 
 def compute_cex_assets_commitment(cex_assets: List[CexAssetInfo]) -> bytes:
     """utils.go:779-800 — pads to ASSET_COUNTS then hashes all elements."""
+    from ..ops.poseidon import hash_chain_fast
     elements = []
     for asset in _pad_cex_assets(cex_assets):
         elements += cex_asset_elements(asset)
-    return fr_to_bytes(poseidon(elements))
+    return fr_to_bytes(hash_chain_fast(elements))
 
 
 def calculate_precomputed_value(ratios: List[TierRatio]) -> None:

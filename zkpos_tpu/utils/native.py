@@ -64,6 +64,8 @@ def lib() -> Optional[ctypes.CDLL]:
         L.zk_mont_mul_batch.argtypes
     L.zk_to_mont_batch.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_size_t]
     L.zk_from_mont_batch.argtypes = L.zk_to_mont_batch.argtypes
+    L.zk_mul_const_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p,
+                                     ctypes.c_size_t]
     L.zk_u256_to_digits.argtypes = [u64p, f32p, ctypes.c_size_t]
     L.zk_digits_to_u256.argtypes = [ctypes.c_int, f64p, u64p,
                                     ctypes.c_size_t, ctypes.c_int]
@@ -120,6 +122,48 @@ def digits_to_u256(d: np.ndarray, which: int = FR_IDX) -> Optional[np.ndarray]:
 
 
 _pos_inited = False
+
+
+def to_mont_batch(limbs: np.ndarray, which: int = FR_IDX
+                  ) -> Optional[np.ndarray]:
+    """(N, 4) u64 standard form -> Montgomery form."""
+    L = lib()
+    if L is None:
+        return None
+    limbs = np.ascontiguousarray(limbs, dtype=np.uint64)
+    out = np.empty_like(limbs)
+    L.zk_to_mont_batch(which, _p(limbs, ctypes.c_uint64),
+                       _p(out, ctypes.c_uint64), limbs.shape[0])
+    return out
+
+
+def from_mont_batch(limbs: np.ndarray, which: int = FR_IDX
+                    ) -> Optional[np.ndarray]:
+    L = lib()
+    if L is None:
+        return None
+    limbs = np.ascontiguousarray(limbs, dtype=np.uint64)
+    out = np.empty_like(limbs)
+    L.zk_from_mont_batch(which, _p(limbs, ctypes.c_uint64),
+                         _p(out, ctypes.c_uint64), limbs.shape[0])
+    return out
+
+
+def mul_const_batch(limbs: np.ndarray, c: int, mod: int,
+                    which: int = FR_IDX) -> Optional[np.ndarray]:
+    """out[i] = limbs[i] * c / 2^256 mod p (CIOS against a constant) —
+    the domain bridge between standard form and the digit engine's
+    2^272 Montgomery domain."""
+    L = lib()
+    if L is None:
+        return None
+    limbs = np.ascontiguousarray(limbs, dtype=np.uint64)
+    cc = ints_to_limbs([c], mod)
+    out = np.empty_like(limbs)
+    L.zk_mul_const_batch(which, _p(limbs, ctypes.c_uint64),
+                         _p(cc, ctypes.c_uint64),
+                         _p(out, ctypes.c_uint64), limbs.shape[0])
+    return out
 
 
 def poseidon_init_default() -> bool:

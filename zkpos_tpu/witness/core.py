@@ -107,7 +107,9 @@ def _cex_commitment_bytes(cex: List[CexAssetInfo]) -> bytes:
     elements = []
     for a in cex:
         elements += cex_asset_elements(a)
-    return fr_to_bytes(poseidon(elements))
+    # device-chained hash: 2 commitments per batch over 20*AssetCounts
+    # elements (witness.go:158-176) ran ~10s each in pure python
+    return fr_to_bytes(pos.hash_chain_fast(elements))
 
 
 def generate_batch_witnesses(tree: AccountTree,
