@@ -71,8 +71,30 @@ def _unwrap(na: int, pt):
     return tuple(c.d for comp in pt for c in comp)
 
 
+# EC engine: "lazy" = ripple-free ops/ec_lazy.py (smaller graphs, ~5x
+# fewer dependent VPU ops); "ripple" = the round-3 ops/ec_f32.py engine.
+_EC_ENGINE = os.environ.get("ZKPOS_EC_ENGINE", "lazy")
+# stationary wrap bounds of the lazy point-add fixed point
+_LZ_DB, _LZ_VB = 262.0, 3.1
+
+
+def _wrap_lazy(na: int, arrs):
+    from . import ec_lazy as ecl
+    f = lambda a: ecl.FPL.wrap(a, _LZ_DB, _LZ_VB)
+    if na == 3:
+        return tuple(f(a) for a in arrs)
+    X0, X1, Y0, Y1, Z0, Z1 = arrs
+    return ((f(X0), f(X1)), (f(Y0), f(Y1)), (f(Z0), f(Z1)))
+
+
 def _padd(na: int, a_arrs, b_arrs):
     """Complete point add on raw digit tuples."""
+    if _EC_ENGINE == "lazy":
+        from . import ec_lazy as ecl
+        F = ecl.F1L if na == 3 else ecl.F2L
+        out = ecl.point_add(F, _wrap_lazy(na, a_arrs),
+                            _wrap_lazy(na, b_arrs))
+        return _unwrap(na, out)
     F = ecf.F1 if na == 3 else ecf.F2
     return _unwrap(na, ecf.point_add(F, _wrap(na, a_arrs),
                                      _wrap(na, b_arrs)))
@@ -139,7 +161,15 @@ def windows_of(scalars, c: int) -> np.ndarray:
 
 
 def pick_c(n: int) -> int:
-    return max(8, min(16, n.bit_length() - 3))
+    """Window width quantized to {8, 12, 16}: each (c, W, chunk) class
+    costs a ~10-minute axon remote compile (then persistent-cached), so
+    few classes beat per-n-optimal widths."""
+    raw = n.bit_length() - 3
+    if raw <= 9:
+        return 8
+    if raw <= 13:
+        return 12
+    return 16
 
 
 # --- device stages ------------------------------------------------------------
@@ -245,7 +275,15 @@ def _fold_fn(na: int, W: int, c: int):
             return _padd(na, acc, pw)
 
         acc0 = tuple(jnp.asarray(i) for i in ids)
-        return jax.lax.fori_loop(0, W, win_body, acc0)
+        res = jax.lax.fori_loop(0, W, win_body, acc0)
+        if _EC_ENGINE == "lazy":
+            # lazy values can be slightly negative; shift by +2p so the
+            # host digit->int converters see a non-negative value
+            from . import ec_lazy as ecl
+            res = tuple(
+                ecl.FPL.to_nonneg(ecl.FPL.wrap(a, _LZ_DB, _LZ_VB))
+                for a in res)
+        return res
 
     return run
 
