@@ -88,7 +88,19 @@ def _wrap_lazy(na: int, arrs):
 
 
 def _padd(na: int, a_arrs, b_arrs):
-    """Complete point add on raw digit tuples."""
+    """Complete point add on raw digit tuples.
+
+    On TPU: the fused Pallas kernel (ops/ec_pallas.py — bf16 MXU reduce,
+    VMEM-resident, one HLO custom-call per add, so the scan graphs stay
+    tiny and the compute fused).  Off-TPU (tests / virtual mesh): the
+    ripple-free lazy engine (small XLA graphs, fast CPU compiles)."""
+    if jax.default_backend() == "tpu" and _EC_ENGINE != "xla":
+        from .ec_pallas import point_add2_pallas, point_add_pallas
+        fn = point_add_pallas if na == 3 else point_add2_pallas
+        shp = a_arrs[0].shape
+        out = fn(tuple(a.reshape(34, -1) for a in a_arrs),
+                 tuple(b.reshape(34, -1) for b in b_arrs))
+        return tuple(o.reshape(shp) for o in out)
     if _EC_ENGINE == "lazy":
         from . import ec_lazy as ecl
         F = ecl.F1L if na == 3 else ecl.F2L
@@ -102,9 +114,13 @@ def _padd(na: int, a_arrs, b_arrs):
 
 @lru_cache(maxsize=None)
 def _id_arrs_np(na: int):
-    """Identity point (0:1:0) Montgomery digit columns as numpy (34, 1)."""
-    conv = ecf.g1_to_device if na == 3 else ecf.g2_to_device
-    return tuple(np.asarray(a) for a in _unwrap(na, conv([None])))
+    """Identity point (0:1:0) Montgomery digit columns as numpy (34, 1)
+    — pure numpy (callable inside shard_map traces)."""
+    from .fd32 import FP
+    id_vals = [0, 1, 0] if na == 3 else [0, 0, 1, 0, 0, 0]
+    return tuple(
+        FP.ints_to_digits([(v * FP.r_mont) % FP.modulus])
+        for v in id_vals)
 
 
 def _select(mask, a_arrs, b_arrs):
@@ -185,22 +201,15 @@ def _sort_fn(W: int, Np: int):
     return run
 
 
-@lru_cache(maxsize=None)
-def _chunk_fn(na: int, W: int, Cn: int, c: int):
-    """jit: process one sorted-stream chunk.
-
-    Reads base (na x (34, P)), the full sorted digit/idx arrays, a start
-    column, the running (carry_digit, carry_point) and the dense bucket
-    grid; returns updated (dense, carry).  Dense and carry are donated.
-    """
+def _chunk_body(na, W, Cn, c, base, sdig, sidx, dense, carry_dig,
+                carry_pt):
+    """Traced body of one sorted-stream chunk (shared by the single-chip
+    jit wrapper and the shard_map multichip path): gather + segmented
+    scan + dense-grid extraction."""
     nb = 1 << c
     combine = _combine_seg(na)
     queries = np.broadcast_to(np.arange(nb, dtype=np.int32), (W, nb))
-
-    @partial(jax.jit, donate_argnums=(4, 5, 6))
-    def run(base, sdig_all, sidx_all, start, dense, carry_dig, carry_pt):
-        sdig = jax.lax.dynamic_slice(sdig_all, (0, start), (W, Cn))
-        sidx = jax.lax.dynamic_slice(sidx_all, (0, start), (W, Cn))
+    if True:
         pts = tuple(jnp.take(a, sidx.reshape(-1), axis=1)
                     .reshape(34, W, Cn).astype(jnp.float32) for a in base)
         # fold the carry point into position 0 when its segment continues
@@ -233,21 +242,30 @@ def _chunk_fn(na: int, W: int, Cn: int, c: int):
         new_cp = tuple(a[:, :, -1] for a in spts)
         return dense, new_cd, new_cp
 
+
+@lru_cache(maxsize=None)
+def _chunk_fn(na: int, W: int, Cn: int, c: int):
+    """jit: one chunk step over a start-indexed slice of the sorted
+    stream; dense grid and carries are donated."""
+
+    @partial(jax.jit, donate_argnums=(4, 5, 6))
+    def run(base, sdig_all, sidx_all, start, dense, carry_dig, carry_pt):
+        sdig = jax.lax.dynamic_slice(sdig_all, (0, start), (W, Cn))
+        sidx = jax.lax.dynamic_slice(sidx_all, (0, start), (W, Cn))
+        return _chunk_body(na, W, Cn, c, base, sdig, sidx, dense,
+                           carry_dig, carry_pt)
+
     return run
 
 
-@lru_cache(maxsize=None)
-def _fold_fn(na: int, W: int, c: int):
-    """jit: dense (na x (34, W, 2^c)) -> MSM result (na x (34, 1)).
-
-    Suffix scan over buckets, tree-reduce of T_{j>=1}, then Horner across
-    windows with c doublings each — all on device."""
+def _fold_body(na, W, c, dense):
+    """Traced bucket fold: suffix scan over buckets, tree-reduce of
+    T_{j>=1}, Horner across windows — returns the RAW (lazy-domain)
+    result point digits (na x (34, 1))."""
     nb = 1 << c
     combine = _combine_sum(na)
     ids = _id_arrs_np(na)
-
-    @jax.jit
-    def run(dense):
+    if True:
         suffix = jax.lax.associative_scan(combine, dense, axis=2,
                                           reverse=True)
         # zero out bucket 0 (weight 0): replace with identity column
@@ -275,20 +293,33 @@ def _fold_fn(na: int, W: int, c: int):
             return _padd(na, acc, pw)
 
         acc0 = tuple(jnp.asarray(i) for i in ids)
-        res = jax.lax.fori_loop(0, W, win_body, acc0)
-        if _EC_ENGINE == "lazy":
-            # lazy values can be slightly negative; shift by +2p so the
-            # host digit->int converters see a non-negative value
-            from . import ec_lazy as ecl
-            res = tuple(
-                ecl.FPL.to_nonneg(ecl.FPL.wrap(a, _LZ_DB, _LZ_VB))
-                for a in res)
-        return res
+        return jax.lax.fori_loop(0, W, win_body, acc0)
+
+
+def _finalize_pt(res):
+    """Raw result digits -> digits safe for the host converters."""
+    if _EC_ENGINE == "lazy":
+        # lazy values can be slightly negative; shift by +2p so the
+        # host digit->int converters see a non-negative value
+        from . import ec_lazy as ecl
+        return tuple(
+            ecl.FPL.to_nonneg(ecl.FPL.wrap(a, _LZ_DB, _LZ_VB))
+            for a in res)
+    return res
+
+
+@lru_cache(maxsize=None)
+def _fold_fn(na: int, W: int, c: int):
+    """jit: dense grid -> final MSM point digits."""
+
+    @jax.jit
+    def run(dense):
+        return _finalize_pt(_fold_body(na, W, c, dense))
 
     return run
 
 
-def device_base(curve: str, points) -> tuple:
+def device_base(curve: str, points, quantum: int = 4096) -> tuple:
     """Upload an MSM base as uint8 digit arrays (34, P), identity at
     column 0 — canonical base-256 digits fit a byte, so pk residency and
     host->device transfer are 4x smaller than the f32 layout (the 12 GB
@@ -312,7 +343,7 @@ def device_base(curve: str, points) -> tuple:
     # prepend identity column: (0 : 1 : 0).  Columns quantized to 4k steps
     # (not pow2 — a 2^21+1 base would double its HBM under pow2ceil).
     id_vals = [0, 1, 0] if na == 3 else [0, 0, 1, 0, 0, 0]
-    P = -(-(len(points) + 1) // 4096) * 4096
+    P = -(-(len(points) + 1) // quantum) * quantum
     out = []
     for k, vals in enumerate(comps):
         mont = [(v * FP.r_mont) % FP.modulus

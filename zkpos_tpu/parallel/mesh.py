@@ -174,6 +174,61 @@ def sharded_point_fold_f32(mesh: Mesh, arrs, axis: str = "shard"):
     return step(*arrs)
 
 
+def sharded_stream_msm(mesh: Mesh, bases_u8, digs, idxs, c: int,
+                       axis: str = "shard"):
+    """The PRODUCTION MSM path (ops/msm_device.py sorted-stream engine)
+    sharded across the mesh — pk bases partitioned per device, bucket
+    partials all-reduced (VERDICT r3 task 9; SURVEY §2.4 TPU row).
+
+    Each device owns a contiguous slice of the pk base (uint8 digit
+    arrays with its own identity column) and the matching window digits:
+    it sorts its slice, runs the segmented-scan bucket accumulation into
+    its dense grid, folds buckets + windows, then the per-device partial
+    points are all-gathered over ICI and folded replicated — the same
+    _chunk_body/_fold_body code prove() runs single-chip.
+
+    bases_u8: na arrays (n_dev, 34, Pd); digs/idxs: (n_dev, W, Nd) int32.
+    Returns replicated host-convertible (34, 1) digit arrays.
+    """
+    from ..ops import msm_device as md
+    from ..ops.fd32 import NDIGITS
+    na = len(bases_u8)
+    n_dev = mesh.devices.size
+    _, W, Nd = digs.shape
+    nb = 1 << c
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis),) * na + (P(axis), P(axis)),
+             out_specs=(P(None, None),) * na, check_rep=False)
+    def step(*args):
+        base = tuple(a[0] for a in args[:na])           # (34, Pd)
+        dig, idx = args[na][0], args[na + 1][0]         # (W, Nd)
+        sdig, sidx = jax.lax.sort((dig, idx), dimension=1, num_keys=1)
+        ids = md._id_arrs_np(na)
+        dense = tuple(jnp.broadcast_to(
+            jnp.asarray(i)[:, :, None], (NDIGITS, W, nb))
+            for i in ids)
+        cd = jnp.full((W,), -1, dtype=jnp.int32)
+        cp = tuple(jnp.broadcast_to(jnp.asarray(i), (NDIGITS, W))
+                   for i in ids)
+        dense, _, _ = md._chunk_body(na, W, Nd, c, base, sdig, sidx,
+                                     dense, cd, cp)
+        part = md._fold_body(na, W, c, dense)           # na x (34, 1)
+        gath = tuple(
+            jax.lax.all_gather(a, axis, axis=2).reshape(NDIGITS, n_dev)
+            for a in part)
+        # fold partials across devices (pairwise halving)
+        lv = n_dev
+        arr = gath
+        while lv > 1:
+            arr = md._padd(na, tuple(a[:, 0::2] for a in arr),
+                           tuple(a[:, 1::2] for a in arr))
+            lv //= 2
+        return md._finalize_pt(arr)
+
+    return step(*bases_u8, digs, idxs)
+
+
 def training_step(mesh: Mesh, leaves_mont, msm_arrs, msm_bits,
                   axis: str = "shard"):
     """One full sharded pipeline step (the multi-chip dryrun target):

@@ -97,22 +97,73 @@ class WitnessService:
         if height == total - 1:
             print("witness: already generated all witnesses")
             return 0
+        # pipeline shape of the reference (witness.go:116-135, 244-316):
+        # generation -> PARALLEL serialize workers -> ORDER-PRESERVING
+        # collector -> batched DB writes with a 16 MB payload cap.
+        import collections
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        import os as _os
+        MAX_PAYLOAD = 16 << 20
+        workers = max(1, (_os.cpu_count() or 2) - 1)
+        pool = None
+        try:
+            # spawn context: workers import only the (jax-free) codec
+            # chain, never the device runtime
+            pool = cf.ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("spawn"))
+        except Exception:
+            pool = None
+
         pending: List[BatchWitnessRow] = []
+        pending_bytes = 0
         written = 0
-        for h, wit in wcore.generate_batch_witnesses(
-                self.tree, self.accounts, self.cex_assets, self.tiers,
-                start_height=height):
-            pending.append(BatchWitnessRow(
-                height=h, witness_data=encode_batch_witness(wit),
-                status=STATUS_PUBLISHED))
-            if len(pending) >= batch_flush:
+
+        def flush():
+            nonlocal pending, pending_bytes, written
+            if pending:
                 self.witness_model.create_batch_witness(pending)
                 written += len(pending)
                 pending = []
-        if pending:
-            self.witness_model.create_batch_witness(pending)
-            written += len(pending)
-        print(f"witness: wrote {written} batch witnesses")
+                pending_bytes = 0
+
+        def collect(h, data):
+            nonlocal pending_bytes, written
+            if len(data) > MAX_PAYLOAD:
+                # oversize row: flush the batch, insert solo
+                flush()
+                self.witness_model.create_batch_witness([BatchWitnessRow(
+                    height=h, witness_data=data,
+                    status=STATUS_PUBLISHED)])
+                written += 1
+                return
+            pending.append(BatchWitnessRow(
+                height=h, witness_data=data, status=STATUS_PUBLISHED))
+            pending_bytes += len(data)
+            if len(pending) >= batch_flush or pending_bytes >= MAX_PAYLOAD:
+                flush()
+
+        gen = wcore.generate_batch_witnesses(
+            self.tree, self.accounts, self.cex_assets, self.tiers,
+            start_height=height)
+        if pool is None:
+            for h, wit in gen:
+                collect(h, encode_batch_witness(wit))
+        else:
+            with pool:
+                inflight = collections.deque()
+                for h, wit in gen:
+                    inflight.append(
+                        (h, pool.submit(encode_batch_witness, wit)))
+                    while len(inflight) > 2 * workers:
+                        hh, fut = inflight.popleft()
+                        collect(hh, fut.result())
+                while inflight:
+                    hh, fut = inflight.popleft()
+                    collect(hh, fut.result())
+        flush()
+        print(f"witness: wrote {written} batch witnesses "
+              f"({workers if pool else 0} serialize workers)")
         return written
 
     # -- user proofs ----------------------------------------------------------
