@@ -290,7 +290,7 @@ def _pk_device_cache(pk: ProvingKey) -> dict:
             free = _device_free_bytes()
             # reserve the MSM working set: dense bucket grids + chunk
             # transients + sorted digit arrays (~2.5 GB at c=16)
-            budget = (free - 3.0 * 2**30) if free else 4.5 * 2**30
+            budget = (free - 4.5 * 2**30) if free else 4.5 * 2**30
         bases = [("a", "g1", pk.a_g1), ("b1", "g1", pk.b1_g1),
                  ("k", "g1", pk.k_g1), ("z", "g1", pk.z_g1),
                  ("b2", "g2", pk.b_g2)]
@@ -354,11 +354,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
         sum_b1 = md.msm("g1", bb1, plan=plan_z)
         if tmp1:
             del bb1
+        del plan_z
+        # G2: narrower windows (16x smaller bucket grid over 6 coordinate
+        # arrays) — its own plan; the extra windows cost ~35% more adds
+        # but the dense grid drops from ~850MB to ~150MB
         bb2, tmp2 = base_of("b2", "g2", pk.b_g2)
-        sum_b2 = md.msm("g2", bb2, plan=plan_z)
+        plan_z2 = md.ScalarPlan(z, c=12) if len(z) > (1 << 17) else \
+            md.ScalarPlan(z)
+        sum_b2 = md.msm("g2", bb2, plan=plan_z2)
+        del plan_z2
         if tmp2:
             del bb2
-        del plan_z
         bk, tmpk = base_of("k", "g1", pk.k_g1)
         krs_priv = md.msm("g1", bk, scalars=z[pk.num_public:])
         if tmpk:

@@ -405,7 +405,9 @@ def msm(curve: str, base, scalars=None, plan: Optional[ScalarPlan] = None):
         plan = ScalarPlan(scalars)
     if plan.K == 0:
         return None
-    Cn = plan.Cn
+    # G2 works on 6 coordinate arrays — halve the chunk so the gather +
+    # scan transients fit next to the resident pk (v5e HBM)
+    Cn = plan.Cn if na == 3 else max(256, plan.Cn // 2)
     n_chunks = -(-plan.K // Cn)
     nb = 1 << plan.c
     ids = _id_arrs_np(na)

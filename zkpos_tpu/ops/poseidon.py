@@ -117,17 +117,34 @@ def hash2_mont(a, b):
 def hash_chain_mont(inputs_mont, n: int):
     """Variadic hash for n > 16 (framework default rule, see COMPAT.md):
     single permutation of the first 16, then chain 15 at a time with the
-    running digest in the first input slot.  inputs (16, n, B) -> (16, B)."""
+    running digest in the first input slot.  inputs (16, n, B) -> (16, B).
+
+    The uniform 15-element chunks run as ONE lax.scan body (a single
+    t=17 permutation graph) — the unrolled form inlined ~n/15
+    permutations and took tens of minutes to remote-compile at the
+    500-asset CEX-commitment width (20*AssetCounts elements)."""
     if n <= 16:
         return hash_n_mont(inputs_mont, n)
     digest = hash_n_mont(inputs_mont[:, :16, :], 16)
     pos = 16
-    while pos < n:
-        chunk = inputs_mont[:, pos:pos + 15, :]
-        k = chunk.shape[1]
-        block = jnp.concatenate([digest[:, None, :], chunk], axis=1)
-        digest = hash_n_mont(block, k + 1)
-        pos += 15
+    k = (n - 16) // 15
+    if k:
+        blocks = inputs_mont[:, 16:16 + 15 * k, :]
+        B = blocks.shape[-1]
+        blocks = jnp.moveaxis(
+            blocks.reshape(fr.NLIMBS, k, 15, B), 1, 0)    # (k, 16, 15, B)
+
+        def body(dg, chunk):
+            blk = jnp.concatenate([dg[:, None, :], chunk], axis=1)
+            return hash_n_mont(blk, 16), None
+
+        digest, _ = jax.lax.scan(body, digest, blocks)
+        pos = 16 + 15 * k
+    rem = n - pos
+    if rem:
+        blk = jnp.concatenate([digest[:, None, :],
+                               inputs_mont[:, pos:, :]], axis=1)
+        digest = hash_n_mont(blk, rem + 1)
     return digest
 
 
