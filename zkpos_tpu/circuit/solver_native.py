@@ -298,6 +298,10 @@ def solve(cs: ConstraintSystem, inputs: List[int],
             raise RuntimeError(
                 f"native solve failed: code {rc} at constraint {idx}")
 
+    import os as _os
+    import time as _time
+    trace = _os.environ.get("ZKPOS_TRACE") == "1"
+    t0 = _time.time()
     commit_result = None
     if p.challenge_wire is None:
         run(0, p.n_cons)
@@ -306,6 +310,10 @@ def solve(cs: ConstraintSystem, inputs: List[int],
         rc = L.zk_solver_run_hints_until(p.hint_boundary)
         if rc:
             raise RuntimeError(f"native solve failed draining hints: {rc}")
+        if trace:
+            print(f'{{"span": "solve_vm_phase1", '
+                  f'"s": {_time.time() - t0:.2f}}}', flush=True)
+        t0 = _time.time()
         wires = _i64(p.commit_wires)
         zs = np.empty((len(wires), 4), dtype=np.uint64)
         L.zk_solver_gather(_pp(wires, ctypes.c_longlong), len(wires),
@@ -316,7 +324,14 @@ def solve(cs: ConstraintSystem, inputs: List[int],
         cv = native.ints_to_limbs([cval], MOD)
         L.zk_solver_set_wire(p.challenge_wire, _pp(cv, ctypes.c_uint64))
         commit_result = (d_pt, pok, cval)
+        if trace:
+            print(f'{{"span": "solve_commit_msm", '
+                  f'"s": {_time.time() - t0:.2f}}}', flush=True)
+        t0 = _time.time()
         run(p.boundary, p.n_cons)
+    if trace:
+        print(f'{{"span": "solve_vm_phase2", '
+              f'"s": {_time.time() - t0:.2f}}}', flush=True)
 
     values = np.empty((p.n_vars, 4), dtype=np.uint64)
     L.zk_solver_get(0, p.n_vars, _pp(values, ctypes.c_uint64))

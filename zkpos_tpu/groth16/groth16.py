@@ -322,11 +322,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
     rand = rng or (lambda: secrets.randbelow(MOD))
     r, s = rand(), rand()
 
+    import time as _t0mod
+    _th = _t0mod.time()
     if pk.domain_size >= _DEVICE_H_MIN_D:
         from .qap_device import compute_h_device
         h = compute_h_device(cs, z, pk.domain_size)
     else:
         h = _compute_h(cs, z, pk.domain_size)
+    import os as _osH
+    if _osH.environ.get("ZKPOS_TRACE") == "1":
+        print(f'{{"span": "compute_h", "s": {_t0mod.time() - _th:.2f}}}',
+              flush=True)
 
     if msm._host_only():
         if not isinstance(z, list):       # (N, 4) u64 limbs -> ints
@@ -339,8 +345,20 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
         krs_priv = msm.msm_g1(pk.k_g1, z[pk.num_public:])
         krs_h = msm.msm_g1(pk.z_g1, h)
     else:
+        import os as _os
+        import time as _time
+        trace = _os.environ.get("ZKPOS_TRACE") == "1"
+
+        def _span(name, t0):
+            if trace:
+                print(f'{{"span": "{name}", "s": {_time.time() - t0:.2f}}}',
+                      flush=True)
+            return _time.time()
+
         from ..ops import msm_device as md
+        t0 = _time.time()
         dev = _pk_device_cache(pk)
+        t0 = _span("pk_device_cache", t0)
 
         def base_of(name, curve, pts):
             if dev[name] is not None:
@@ -348,10 +366,13 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
             return md.device_base(curve, pts), True
 
         plan_z = md.ScalarPlan(z)
+        t0 = _span("plan_z", t0)
         ba, _ = base_of("a", "g1", pk.a_g1)
         sum_a = md.msm("g1", ba, plan=plan_z)
+        t0 = _span("msm_a", t0)
         bb1, tmp1 = base_of("b1", "g1", pk.b1_g1)
         sum_b1 = md.msm("g1", bb1, plan=plan_z)
+        t0 = _span("msm_b1", t0)
         if tmp1:
             del bb1
         del plan_z
@@ -362,15 +383,18 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, rng=None) -> Proof:
         plan_z2 = md.ScalarPlan(z, c=12) if len(z) > (1 << 17) else \
             md.ScalarPlan(z)
         sum_b2 = md.msm("g2", bb2, plan=plan_z2)
+        t0 = _span("msm_b2", t0)
         del plan_z2
         if tmp2:
             del bb2
         bk, tmpk = base_of("k", "g1", pk.k_g1)
         krs_priv = md.msm("g1", bk, scalars=z[pk.num_public:])
+        t0 = _span("msm_k", t0)
         if tmpk:
             del bk
         bz, tmpz = base_of("z", "g1", pk.z_g1)
         krs_h = md.msm("g1", bz, scalars=h)
+        t0 = _span("msm_z", t0)
         if tmpz:
             del bz
 

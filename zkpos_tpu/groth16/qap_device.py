@@ -106,8 +106,16 @@ def eval_matrix_device(cs, z_mont, which: int, d: int):
     rows, vars_, coeffs = _matrix_arrays(cs, which)
     if len(rows) == 0:
         return jnp.zeros((NDIGITS, d), jnp.float32)
-    return _eval_fn(len(rows), d)(
-        z_mont, jnp.asarray(vars_), jnp.asarray(rows), jnp.asarray(coeffs))
+    # pin the per-tier constant term arrays on device: re-sending the
+    # ~1GB coefficient digit arrays per prove dominated compute_h on the
+    # tunnel (they are as constant as the pk)
+    cache = cs._qap_dev_cache
+    key = ("dev", which)
+    if key not in cache:
+        cache[key] = (jax.device_put(vars_), jax.device_put(rows),
+                      jax.device_put(coeffs))
+    dv, dr, dc = cache[key]
+    return _eval_fn(len(rows), d)(z_mont, dv, dr, dc)
 
 
 @lru_cache(maxsize=None)

@@ -344,11 +344,22 @@ def device_base(curve: str, points, quantum: int = 4096) -> tuple:
     # (not pow2 — a 2^21+1 base would double its HBM under pow2ceil).
     id_vals = [0, 1, 0] if na == 3 else [0, 0, 1, 0, 0, 0]
     P = -(-(len(points) + 1) // quantum) * quantum
+    # to-Montgomery via ONE native CIOS per coordinate (the python bigint
+    # loop cost ~30s per 2M-point base — it dominated prove-time base
+    # uploads); shift constant 2^(272+256) mod p maps standard -> the
+    # digit engine's 2^272 domain
+    shift = pow(2, 272 + 256, FP.modulus)
     out = []
     for k, vals in enumerate(comps):
-        mont = [(v * FP.r_mont) % FP.modulus
-                for v in ([id_vals[k]] + list(vals))]
-        dig = FP.ints_to_digits(mont)               # (34, n+1) f32 canonical
+        allv = [id_vals[k]] + list(vals)
+        limbs = native.ints_to_limbs(allv, FP.modulus)
+        mont = native.mul_const_batch(limbs, shift, FP.modulus,
+                                      which=native.FP_IDX)
+        if mont is not None:
+            dig = native.u256_to_digits(mont)
+        else:
+            dig = FP.ints_to_digits(
+                [(v * FP.r_mont) % FP.modulus for v in allv])
         arr = np.zeros((34, P), dtype=np.uint8)
         arr[:, :dig.shape[1]] = dig.astype(np.uint8)
         out.append(jnp.asarray(arr))
