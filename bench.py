@@ -90,6 +90,30 @@ def main():
         "vs_baseline": round(rate / BASELINE_HASHES_PER_SEC, 4),
     }))
 
+    # Second (headline) metric: steady-state batch prove wall-clock, the
+    # fleet-regime number (reference prover.go:285-367; 62 s/batch at 2^26
+    # constraints on an m5.8xlarge).  Measured on the real chip by
+    # scripts/prove_e2e.py (cycle-3 of >=3 consecutive in-process proves)
+    # and recorded in BENCH_PROVE.json — a full prove (setup + witness +
+    # 4 proves, ~30 min) does not fit a bench invocation.
+    # vs_baseline normalizes per-constraint: (62 s * n/2^26) / value.
+    import os
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PROVE.json")
+    if os.path.exists(rec_path):
+        with open(rec_path) as f:
+            rec = json.load(f)
+        n_cons = rec["constraints"]
+        ref_scaled = 62.0 * n_cons / float(1 << 26)
+        print(json.dumps({
+            "metric": "batch_prove_seconds",
+            "value": rec["value"],
+            "unit": (f"s/batch at {n_cons} constraints, steady cycle 3 "
+                     "(recorded on-chip by scripts/prove_e2e.py; "
+                     "vs_baseline = per-constraint vs 62 s at 2^26)"),
+            "vs_baseline": round(ref_scaled / rec["value"], 4),
+        }))
+
 
 if __name__ == "__main__":
     main()

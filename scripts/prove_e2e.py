@@ -151,24 +151,30 @@ def main():
     proof = g16.prove(scs, pk)
     t_prove = phase("prove", t0)
 
-    # steady-state batch: pk/QAP/commitment bases are device-resident
+    # steady-state regime: pk/QAP/commitment bases are device-resident
     # after the first batch (the prover service's LoadSnarkParamsOnce
-    # regime, reference prover.go:285-367) — solve + prove again
-    t0 = time.time()
-    scs2 = sn.solve(cs, inputs, key)
-    t_solve2 = phase("witness_solve_steady", t0)
-    t0 = time.time()
-    proof2 = g16.prove(scs2, pk)
-    t_prove2 = phase("prove_steady", t0)
+    # regime, reference prover.go:285-367).  THREE consecutive in-process
+    # solve+prove cycles (VERDICT r4 task 1); cycle 3 is the recorded
+    # fleet-regime number.
+    steady_solve, steady_prove, proofs = [], [], []
+    for cyc in range(2, 5):
+        t0 = time.time()
+        scs_i = sn.solve(cs, inputs, key)
+        steady_solve.append(phase(f"witness_solve_cycle{cyc}", t0))
+        t0 = time.time()
+        proofs.append(g16.prove(scs_i, pk))
+        steady_prove.append(phase(f"prove_cycle{cyc}", t0))
+    t_prove2 = steady_prove[-1]
 
     t0 = time.time()
     public = scs.public_values()
     ok = g16.verify(proof, vk, public)
     t_verify = phase("verify", t0)
     assert ok, "verify failed"
+    for i, pf in enumerate(proofs):
+        assert g16.verify(pf, vk, public), f"steady verify {i} failed"
 
-    assert g16.verify(proof2, vk, public), "steady verify failed"
-    print(json.dumps({
+    summary = {
         "metric": "batch_prove_seconds",
         "value": round(t_prove2, 2),
         "constraints": n_cons,
@@ -179,11 +185,21 @@ def main():
                    "solver_record": round(t_record, 1),
                    "witness_solve_cold": round(t_solve, 1),
                    "prove_first_in_process": round(t_prove, 1),
-                   "witness_solve_steady": round(t_solve2, 1),
-                   "prove_steady": round(t_prove2, 1),
+                   "witness_solve_steady": [round(s, 1)
+                                            for s in steady_solve],
+                   "prove_steady_cycles": [round(s, 1)
+                                           for s in steady_prove],
                    "verify": round(t_verify, 2)},
         "reference": "62 s/batch at 2^26 constraints (m5.8xlarge, "
-                     "docs/...dummy_user_attack.md:199-201)"}), flush=True)
+                     "docs/...dummy_user_attack.md:199-201)"}
+    print(json.dumps(summary), flush=True)
+    # record for bench.py (driver-visible second metric): the steady
+    # cycle-3 number measured on the real chip by THIS run
+    rec = dict(summary)
+    rec["recorded_unix"] = int(time.time())
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_PROVE.json"), "w") as f:
+        json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":

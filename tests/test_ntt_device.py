@@ -33,3 +33,12 @@ def test_ntt_random_512():
     vals = [int.from_bytes(rng.bytes(32), "little") % MOD
             for _ in range(512)]
     _roundtrip(vals)
+
+
+def test_ntt_random_4096_transposed_tail():
+    """log_n = 12 crosses the _MIN_MINOR layout switch: the final DIF /
+    initial DIT stages run on the transposed view (the 2^21 OOM fix)."""
+    rng = np.random.default_rng(2)
+    vals = [int.from_bytes(rng.bytes(32), "little") % MOD
+            for _ in range(4096)]
+    _roundtrip(vals)

@@ -45,7 +45,8 @@ def test_point_round_trips():
 
 
 def test_vk_field_order():
-    """Alpha | Beta1 | Beta2 | Gamma2 | Delta1 | Delta2 | #K | K."""
+    """Alpha | Beta1 | Beta2 | Gamma2 | Delta1 | Delta2 | #K | K |
+    #commitments | PublicAndCommitmentCommitted."""
     from zkpos_tpu.groth16.groth16 import VerifyingKey
     vk = VerifyingKey(
         alpha_g1=bn.G1_GEN,
@@ -53,20 +54,57 @@ def test_vk_field_order():
         gamma_g2=bn.g2_mul(bn.G2_GEN, 5),
         delta_g2=bn.g2_mul(bn.G2_GEN, 7),
         k_gamma_g1=[bn.G1_GEN, bn.g1_mul(bn.G1_GEN, 9)],
-        num_public=2)
+        num_public=2,
+        beta_g1=bn.g1_mul(bn.G1_GEN, 3),
+        delta_g1=bn.g1_mul(bn.G1_GEN, 7))
     raw = sz.vk_to_bytes(vk)
     assert raw[0:32] == sz.g1_to_bytes(bn.G1_GEN)            # alpha
-    assert raw[32:64] == sz.g1_to_bytes(None)                # beta1 slot
+    assert raw[32:64] == sz.g1_to_bytes(vk.beta_g1)          # REAL beta1
     assert raw[64:128] == sz.g2_to_bytes(vk.beta_g2)
     assert raw[128:192] == sz.g2_to_bytes(vk.gamma_g2)       # gamma BEFORE delta
-    assert raw[192:224] == sz.g1_to_bytes(None)              # delta1 slot
+    assert raw[192:224] == sz.g1_to_bytes(vk.delta_g1)       # REAL delta1
     assert raw[224:288] == sz.g2_to_bytes(vk.delta_g2)
     assert raw[288:292] == (2).to_bytes(4, "big")
+    assert raw[292 + 64:292 + 68] == (0).to_bytes(4, "big")  # nbCommitments
     back = sz.vk_from_bytes(raw)
     assert back.beta_g2 == vk.beta_g2
     assert back.gamma_g2 == vk.gamma_g2
     assert back.delta_g2 == vk.delta_g2
     assert back.k_gamma_g1 == vk.k_gamma_g1
+    assert back.beta_g1 == vk.beta_g1
+    assert back.delta_g1 == vk.delta_g1
+
+
+def test_vk_commitment_section_round_trip():
+    """The commitment key must survive the byte surface (VERDICT r4
+    missing #3): Kc rides as the appended K slot, sigma as GSigmaNeg."""
+    from zkpos_tpu.groth16.groth16 import VerifyingKey
+    sigma = 1234567
+    vk = VerifyingKey(
+        alpha_g1=bn.G1_GEN,
+        beta_g2=bn.g2_mul(bn.G2_GEN, 3),
+        gamma_g2=bn.g2_mul(bn.G2_GEN, 5),
+        delta_g2=bn.g2_mul(bn.G2_GEN, 7),
+        k_gamma_g1=[bn.G1_GEN, bn.g1_mul(bn.G1_GEN, 9)],
+        num_public=2,
+        kc_g1=bn.g1_mul(bn.G1_GEN, 21),
+        sigma_g2=bn.g2_mul(bn.G2_GEN, sigma),
+        beta_g1=bn.g1_mul(bn.G1_GEN, 3),
+        delta_g1=bn.g1_mul(bn.G1_GEN, 7),
+        public_and_commitment_committed=[[]])
+    raw = sz.vk_to_bytes(vk)
+    # K section: 3 points (2 public + 1 commitment slot)
+    assert raw[288:292] == (3).to_bytes(4, "big")
+    back = sz.vk_from_bytes(raw)
+    assert back.kc_g1 == vk.kc_g1
+    assert back.sigma_g2 == vk.sigma_g2
+    assert back.k_gamma_g1 == vk.k_gamma_g1
+    assert back.num_public == 2
+    assert back.public_and_commitment_committed == [[]]
+    # GSigmaNeg on the wire is the NEGATED sigma point
+    gsn_off = 292 + 3 * 32 + 4 + 64
+    gsn = sz.g2_from_bytes(raw[gsn_off:gsn_off + 64])
+    assert bn.g2_add(gsn, vk.sigma_g2) is None
 
 
 def test_proof_round_trip_with_commitment():

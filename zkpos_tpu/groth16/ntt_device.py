@@ -109,27 +109,71 @@ def _bitrev_dev(log_n: int):
     return jax.device_put(_bitrev_perm(log_n))
 
 
+# Minimum butterfly width kept in the MINOR dim.  XLA pads the last two
+# dims of every temp to (8, 128) tiles: the naive (34, blocks, 2, half)
+# view at half < 128 inflates each temporary up to 128x (a 285 MB logical
+# array became multi-GB), which is what OOM'd the round-4 steady-state
+# prove inside compute_h at d=2^21.  Stages whose `half` would drop below
+# this threshold run on a transposed view where the minor dim is the
+# (large) block count instead — one transpose in, one out.
+_MIN_MINOR = 512
+
+
+def _stage_op(u, v, tw_dig, norm, dit: bool):
+    if dit:
+        # DIT butterfly: u' = u + w v ; v' = u - w v
+        wv = _twiddle_mul_bc(v, tw_dig)
+        return (_const_mul(FR.add(u, wv), norm),
+                _const_mul(FR.sub(u, wv, k=2), norm))
+    # DIF butterfly: u' = u + v ; v' = (u - v) w
+    return (_const_mul(FR.add(u, v), norm),
+            _twiddle_mul_bc(FR.sub(u, v, k=2), tw_dig))
+
+
+def _twiddle_mul_bc(x, tw):
+    """x (34, ...) times per-position twiddles tw (broadcastable digit
+    array): VPU conv + Montgomery reduce."""
+    return FR.reduce_mont(FR.conv(x, jnp.broadcast_to(tw, x.shape)))
+
+
 def _dif_stages(a, log_n: int, inverse: bool, reverse_order: bool, tws):
     n = 1 << log_n
     stages = _stage_tables(log_n, inverse)
-    order = range(log_n - 1, -1, -1) if reverse_order else range(log_n)
+    order = (range(log_n - 1, -1, -1) if reverse_order
+             else range(log_n))
+    # stages with half >= _MIN_MINOR run in the natural layout; the rest
+    # run transposed (butterfly axis major, block axis minor)
+    j_sw = max(log_n - 1 - (_MIN_MINOR.bit_length() - 1), 0)
+    L = n >> j_sw                    # block length of the transposed tail
+    m = n // L
+    transposed = False
     for j in order:
         norm = stages[j][1]
         tw_dig = tws[j]
         half = n >> (j + 1)
-        blocks = n // (2 * half)
-        v4 = a.reshape(NDIGITS, blocks, 2, half)
-        u, v = v4[:, :, 0, :], v4[:, :, 1, :]
-        if reverse_order:
-            # DIT butterfly: u' = u + w v ; v' = u - w v
-            wv = _twiddle_mul(v, tw_dig)
-            a0 = _const_mul(FR.add(u, wv), norm)
-            a1 = _const_mul(FR.sub(u, wv, k=2), norm)
+        small = j >= j_sw and m > 1
+        if small and not transposed:
+            a = a.reshape(NDIGITS, m, L).transpose(0, 2, 1)  # (34, L, m)
+            transposed = True
+        elif transposed and not small:
+            a = a.transpose(0, 2, 1).reshape(NDIGITS, n)
+            transposed = False
+        if transposed:
+            bl = L // (2 * half)
+            v5 = a.reshape(NDIGITS, bl, 2, half, m)
+            u, v = v5[:, :, 0], v5[:, :, 1]                  # (34,bl,half,m)
+            tw = jnp.asarray(tw_dig)[:, None, :, None]
+            a0, a1 = _stage_op(u, v, tw, norm, reverse_order)
+            a = jnp.stack([a0, a1], axis=2).reshape(NDIGITS, L, m)
         else:
-            # DIF butterfly: u' = u + v ; v' = (u - v) w
-            a0 = _const_mul(FR.add(u, v), norm)
-            a1 = _twiddle_mul(FR.sub(u, v, k=2), tw_dig)
-        a = jnp.stack([a0, a1], axis=2).reshape(NDIGITS, n)
+            blocks = n // (2 * half)
+            v4 = a.reshape(NDIGITS, blocks, 2, half)
+            u, v = v4[:, :, 0, :], v4[:, :, 1, :]
+            tw = jnp.asarray(tw_dig)[:, None, :]
+            a0, a1 = _stage_op(u, v, tw, norm, reverse_order)
+            a = jnp.stack([a0, a1], axis=2).reshape(NDIGITS, n)
+    if transposed:
+        a = a.transpose(0, 2, 1).reshape(NDIGITS, n)
     return a
 
 

@@ -93,11 +93,13 @@ def _eval_fn(n_terms: int, d: int):
     def run(z_mont, var_idx, row_idx, coeff_dig):
         zg = jnp.take(z_mont, var_idx, axis=1)          # (34, T)
         prod = FR.mont_mul(zg, coeff_dig)               # (34, T) <=1.02p
-        sums = jax.ops.segment_sum(prod.T, row_idx,
-                                   num_segments=d)      # (d, 34)
+        # scatter-add along the MINOR axis: keeps every temp in the fat
+        # (34, N) layout (segment_sum's (T, 34) intermediate was padded
+        # (T, 128) by XLA tiling — ~4x the HBM at production T)
+        sums = jnp.zeros((NDIGITS, d), jnp.float32).at[:, row_idx].add(prod)
         # digit rows now reach 255*T_seg: carry-ripple back to canonical
         # digits (exact while 255*T_seg < 2^23) BEFORE the bf-weight matmul
-        canon, _ = FR._ripple(sums.T, NDIGITS)
+        canon, _ = FR._ripple(sums, NDIGITS)
         return _const_mul(canon, _one_toep())           # value -> ~1.02p
     return run
 

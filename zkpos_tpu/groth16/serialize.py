@@ -164,33 +164,97 @@ def proof_from_base64(s: str):
 
 
 def vk_to_bytes(vk) -> bytes:
-    # gnark order: [alpha]1 [beta]1 [beta]2 [gamma]2 [delta]1 [delta]2 #K K
-    # beta_g1/delta_g1 are not part of our VerifyingKey (not needed to
-    # verify); emit identity to keep the gnark field slots.
+    """gnark v0.10 bn254 VerifyingKey.WriteTo reconstruction (keygen
+    main.go:46-66 writes these bytes; reference verifier main.go:284
+    reads them):
+
+      [α]₁ [β]₁ [β]₂ [γ]₂ [δ]₁ [δ]₂
+      uint32 len(K) | K...                (public wires + one commitment
+                                           slot per commitment — gnark
+                                           appends the commitment-challenge
+                                           K entries to G1.K)
+      uint32 nbCommitments
+      per commitment: pedersen.VerifyingKey = G (G₂) | GSigmaNeg (G₂)
+      PublicAndCommitmentCommitted: uint32 outer len; per inner:
+        uint32 len | uint64 big-endian values
+
+    [β]₁/[δ]₁ are the real setup values (round-4 wrote identity — a gnark
+    decoder subgroup-checks these slots).  GSigmaNeg = -σ[G]₂ per gnark's
+    pedersen key convention (PoK check e(pok, G)·e(D, GSigmaNeg) == 1).
+    Byte layout reconstructed from public gnark conventions; offline
+    byte-testing is blocked (COMPAT.md), round-trip + frozen-vector
+    tested."""
+    from ..crypto import bn254 as bn
     out = g1_to_bytes(vk.alpha_g1)
-    out += g1_to_bytes(None)             # beta_g1 slot
+    out += g1_to_bytes(getattr(vk, "beta_g1", None))
     out += g2_to_bytes(vk.beta_g2)
     out += g2_to_bytes(vk.gamma_g2)
-    out += g1_to_bytes(None)             # delta_g1 slot
+    out += g1_to_bytes(getattr(vk, "delta_g1", None))
     out += g2_to_bytes(vk.delta_g2)
-    out += struct.pack(">I", len(vk.k_gamma_g1))
-    for p in vk.k_gamma_g1:
+    k_pts = list(vk.k_gamma_g1)
+    has_commit = vk.kc_g1 is not None
+    if has_commit:
+        k_pts.append(vk.kc_g1)
+    out += struct.pack(">I", len(k_pts))
+    for p in k_pts:
         out += g1_to_bytes(p)
+    out += struct.pack(">I", 1 if has_commit else 0)
+    if has_commit:
+        out += g2_to_bytes(bn.G2_GEN)                    # pedersen G
+        neg = (vk.sigma_g2[0], bn.Fp2((bn.P - vk.sigma_g2[1].c0) % bn.P,
+                                      (bn.P - vk.sigma_g2[1].c1) % bn.P))
+        out += g2_to_bytes(neg)                          # GSigmaNeg
+    pcc = getattr(vk, "public_and_commitment_committed", None)
+    if pcc is None:
+        pcc = [[]] if has_commit else []
+    out += struct.pack(">I", len(pcc))
+    for inner in pcc:
+        out += struct.pack(">I", len(inner))
+        for v in inner:
+            out += struct.pack(">Q", v)
     return out
 
 
 def vk_from_bytes(data: bytes):
+    from ..crypto import bn254 as bn
     from .groth16 import VerifyingKey
     off = 0
     alpha = g1_from_bytes(data[off:off + 32]); off += 32
-    off += 32                                   # beta_g1 slot
+    beta1 = g1_from_bytes(data[off:off + 32]); off += 32
     beta2 = g2_from_bytes(data[off:off + 64]); off += 64
     gamma2 = g2_from_bytes(data[off:off + 64]); off += 64
-    off += 32                                   # delta_g1 slot
+    delta1 = g1_from_bytes(data[off:off + 32]); off += 32
     delta2 = g2_from_bytes(data[off:off + 64]); off += 64
     (n,) = struct.unpack(">I", data[off:off + 4]); off += 4
     k = []
     for _ in range(n):
         k.append(g1_from_bytes(data[off:off + 32])); off += 32
+    (ncomm,) = struct.unpack(">I", data[off:off + 4]); off += 4
+    kc = sigma2 = None
+    if ncomm:
+        if ncomm != 1:
+            raise ValueError("only single-commitment vks supported")
+        g = g2_from_bytes(data[off:off + 64]); off += 64
+        if g != bn.G2_GEN:
+            raise ValueError("pedersen G is not the canonical generator")
+        gsn = g2_from_bytes(data[off:off + 64]); off += 64
+        sigma2 = (gsn[0], bn.Fp2((bn.P - gsn[1].c0) % bn.P,
+                                 (bn.P - gsn[1].c1) % bn.P))
+        kc = k.pop()                       # the appended commitment slot
+        n -= 1
+    pcc = None
+    if off < len(data):
+        (outer,) = struct.unpack(">I", data[off:off + 4]); off += 4
+        pcc = []
+        for _ in range(outer):
+            (ln,) = struct.unpack(">I", data[off:off + 4]); off += 4
+            inner = []
+            for _ in range(ln):
+                (v,) = struct.unpack(">Q", data[off:off + 8]); off += 8
+                inner.append(v)
+            pcc.append(inner)
     return VerifyingKey(alpha_g1=alpha, beta_g2=beta2, gamma_g2=gamma2,
-                        delta_g2=delta2, k_gamma_g1=k, num_public=n)
+                        delta_g2=delta2, k_gamma_g1=k, num_public=n,
+                        kc_g1=kc, sigma_g2=sigma2,
+                        beta_g1=beta1, delta_g1=delta1,
+                        public_and_commitment_committed=pcc)

@@ -103,14 +103,10 @@ def _fp_consts():
     return w_n3, w_p_hi, w_c, b3t, kp, k0t, k1t
 
 
-def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r,
-                 wn3r, wphr, wcr, b3r, kpr,
-                 x3r, y3r, z3r):
-    wn3 = wn3r[...]
-    wph = wphr[...]
-    wc = wcr[...]
-    kp = kpr[...]
-    T = x1r.shape[1]
+def _g1_add_core(X1, Y1, Z1, X2, Y2, Z2, wn3, wph, wc, b3, kp):
+    """Complete G1 add on VMEM-resident (34, T) digit tiles — shared by the
+    standalone pairwise kernel and the segmented-scan kernel."""
+    T = X1.shape[1]
 
     def rip(x):
         return _ripple2(x, passes=3)
@@ -125,9 +121,6 @@ def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r,
         out = _reduce(_conv(a, b), wn3, wph, wc)
         return [out[:, i * T:(i + 1) * T] for i in range(len(pairs))]
 
-    X1, Y1, Z1 = x1r[...], y1r[...], z1r[...]
-    X2, Y2, Z2 = x2r[...], y2r[...], z2r[...]
-
     s1 = (rip(X1 + Y1), rip(X2 + Y2))
     s2 = (rip(Y1 + Z1), rip(Y2 + Z2))
     s3 = (rip(X1 + Z1), rip(X2 + Z2))
@@ -139,7 +132,7 @@ def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r,
     txz = sub_k(cxz, rip(t0 + t2), 3)
 
     def b3mul(x):
-        raw = _bdot(b3r[...], x)
+        raw = _bdot(b3, x)
         return _reduce(raw[0:NC], wn3, wph, wc)
 
     bt2 = b3mul(t2)
@@ -151,24 +144,25 @@ def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r,
     m1, m2, m3, m4, m5, m6 = mul6([
         (txy, u), (tyz, w), (u, v), (t0p, w), (tyz, v), (t0p, txy)])
 
-    x3r[...] = sub_k(m1, m2, 2)
-    y3r[...] = rip(m3 + m4)
-    z3r[...] = rip(m5 + m6)
+    return sub_k(m1, m2, 2), rip(m3 + m4), rip(m5 + m6)
 
 
-def _padd2_kernel(x10r, x11r, y10r, y11r, z10r, z11r,
-                  x20r, x21r, y20r, y21r, z20r, z21r,
-                  wn3r, wphr, wcr, kpr, k0r, k1r,
-                  x30r, x31r, y30r, y31r, z30r, z31r):
+def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r,
+                 wn3r, wphr, wcr, b3r, kpr,
+                 x3r, y3r, z3r):
+    x3r[...], y3r[...], z3r[...] = _g1_add_core(
+        x1r[...], y1r[...], z1r[...], x2r[...], y2r[...], z2r[...],
+        wn3r[...], wphr[...], wcr[...], b3r[...], kpr[...])
+
+
+def _g2_add_core(coords1, coords2, wn3, wph, wc, kp, k0, k1):
     """Complete G2 add (Fp2 coordinates, Karatsuba): same formula with
     3b' = (81-9u)/82.  Component value bounds stay <= 10p (stationary);
     see the Fp2 bound walk in the module history — all mul operands stay
-    < 41p < 2^260."""
-    wn3 = wn3r[...]
-    wph = wphr[...]
-    wc = wcr[...]
-    kp = kpr[...]
-    T = x10r.shape[1]
+    < 41p < 2^260.  coords: 6-tuples of (34, T) tiles."""
+    x10, x11, y10, y11, z10, z11 = coords1
+    x20, x21, y20, y21, z20, z21 = coords2
+    T = x10.shape[1]
 
     def rip(x):
         return _ripple2(x, passes=3)
@@ -202,24 +196,24 @@ def _padd2_kernel(x10r, x11r, y10r, y11r, z10r, z11r,
         component bounds (3.04, 2.04)."""
         a0, a1 = a
         m = lambda w, x: _reduce(_bdot(w, x)[0:NC], wn3, wph, wc)
-        k0a0 = m(k0r[...], a0)
-        k1a1 = m(k1r[...], a1)
-        k0a1 = m(k0r[...], a1)
-        k1a0 = m(k1r[...], a0)
+        k0a0 = m(k0, a0)
+        k1a1 = m(k1, a1)
+        k0a1 = m(k0, a1)
+        k1a0 = m(k1, a0)
         return (sub_k(k0a0, k1a1, 2), rip(k0a1 + k1a0))
 
     def addf(a, b):
         return (rip(a[0] + b[0]), rip(a[1] + b[1]))
 
-    def subf(a, b, k0, k1):
-        return (sub_k(a[0], b[0], k0), sub_k(a[1], b[1], k1))
+    def subf(a, b, ka, kb):
+        return (sub_k(a[0], b[0], ka), sub_k(a[1], b[1], kb))
 
-    X1 = (x10r[...], x11r[...])
-    Y1 = (y10r[...], y11r[...])
-    Z1 = (z10r[...], z11r[...])
-    X2 = (x20r[...], x21r[...])
-    Y2 = (y20r[...], y21r[...])
-    Z2 = (z20r[...], z21r[...])
+    X1 = (x10, x11)
+    Y1 = (y10, y11)
+    Z1 = (z10, z11)
+    X2 = (x20, x21)
+    Y2 = (y20, y21)
+    Z2 = (z20, z21)
 
     t0, t1, t2, cxy, cyz, cxz = mul6_fp2([
         (X1, X2), (Y1, Y2), (Z1, Z2),
@@ -243,9 +237,147 @@ def _padd2_kernel(x10r, x11r, y10r, y11r, z10r, z11r,
     X3 = subf(m1, m2, 4, 5)
     Y3 = addf(m3, m4)
     Z3 = addf(m5, m6)
-    x30r[...], x31r[...] = X3
-    y30r[...], y31r[...] = Y3
-    z30r[...], z31r[...] = Z3
+    return X3 + Y3 + Z3
+
+
+def _padd2_kernel(x10r, x11r, y10r, y11r, z10r, z11r,
+                  x20r, x21r, y20r, y21r, z20r, z21r,
+                  wn3r, wphr, wcr, kpr, k0r, k1r,
+                  x30r, x31r, y30r, y31r, z30r, z31r):
+    out = _g2_add_core(
+        (x10r[...], x11r[...], y10r[...], y11r[...], z10r[...], z11r[...]),
+        (x20r[...], x21r[...], y20r[...], y21r[...], z20r[...], z21r[...]),
+        wn3r[...], wphr[...], wcr[...], kpr[...], k0r[...], k1r[...])
+    (x30r[...], x31r[...], y30r[...], y31r[...],
+     z30r[...], z31r[...]) = out
+
+
+# --- segmented inclusive scan (sorted-stream MSM bucket accumulation) --------
+#
+# One kernel per chunk replaces the round-4 `lax.associative_scan` chain of
+# separate point-add dispatches (each level a full HBM round trip): the scan
+# runs tile-by-tile in VMEM (Hillis–Steele over lanes), the carry point lives
+# in scratch across the sequential grid, and each stream element is read from
+# and written to HBM exactly once.
+
+SCAN_TILE = 1024
+
+
+def _seg_scan_kernel(na, steps):
+    """Kernel body factory: na=3 (G1) or 6 (G2) coordinate arrays."""
+
+    def kernel(*refs):
+        coord_in = refs[:na]
+        hr = refs[na]
+        if na == 3:
+            wn3r, wphr, wcr, b3r, kpr, id1r = refs[na + 1:na + 7]
+            out_refs = refs[na + 7:na + 7 + na]
+            scratch = refs[na + 7 + na:]
+            consts = (wn3r[...], wphr[...], wcr[...], b3r[...], kpr[...])
+            add = lambda a, b: _g1_add_core(*a, *b, *consts)
+            idy_comp = 1                      # identity (0 : 1 : 0)
+        else:
+            wn3r, wphr, wcr, kpr, k0r, k1r, id1r = refs[na + 1:na + 8]
+            out_refs = refs[na + 8:na + 8 + na]
+            scratch = refs[na + 8 + na:]
+            consts = (wn3r[...], wphr[...], wcr[...], kpr[...],
+                      k0r[...], k1r[...])
+            add = lambda a, b: _g2_add_core(a, b, *consts)
+            idy_comp = 2                      # identity (0,0 : 1,0 : 0,0)
+
+        pid = pl.program_id(0)
+        cur = [r[...] for r in coord_in]
+        f = hr[...]                           # (1, T) f32, 1.0 at heads
+        T = cur[0].shape[1]
+        id1 = id1r[...]                       # (34, 128) mont(1) digits
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+        @pl.when(pid == 0)
+        def _init():
+            for k in range(na):
+                if k == idy_comp:
+                    scratch[k][...] = id1
+                else:
+                    scratch[k][...] = jnp.zeros_like(id1)
+
+        # fold the running carry into lane 0 when it continues the previous
+        # tile's segment (head flag 0)
+        carry = [jnp.broadcast_to(scratch[k][:, 0:1], cur[0].shape)
+                 for k in range(na)]
+        merged = add(tuple(carry), tuple(cur))
+        cont0 = (lane == 0) & (f[0:1, 0:1] < 0.5)
+        cur = [jnp.where(cont0, m, x) for m, x in zip(merged, cur)]
+
+        # Hillis–Steele over lanes with the segmented operator
+        for s in range(steps):
+            sh = 1 << s
+            valid = lane >= sh
+            part = []
+            for k in range(na):
+                p = jnp.concatenate(
+                    [cur[k][:, T - sh:], cur[k][:, :T - sh]], axis=1)
+                ident = id1 [:, 0:1] if k == idy_comp else jnp.float32(0.0)
+                part.append(jnp.where(valid, p, ident))
+            pf = jnp.where(
+                valid,
+                jnp.concatenate([f[:, T - sh:], f[:, :T - sh]], axis=1),
+                0.0)
+            summed = add(tuple(part), tuple(cur))
+            keep = f > 0.5                    # cur is a head: scan restarts
+            cur = [jnp.where(keep, x, sm) for x, sm in zip(cur, summed)]
+            f = jnp.maximum(f, pf)
+
+        for k in range(na):
+            out_refs[k][...] = cur[k]
+            scratch[k][...] = jnp.broadcast_to(cur[k][:, T - 1:T],
+                                               id1.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def seg_scan_pallas(na: int, pts, heads):
+    """Inclusive segmented EC-sum scan over a flattened sorted stream.
+
+    pts: tuple of na (34, S) f32 digit arrays (canonical digits; values
+    <= 4p for G1, <= 10p per component for G2).  heads: (S,) — nonzero
+    marks a segment start.  Returns the scan as na (34, S) f32 arrays;
+    position i holds the EC sum of its segment's elements up to i.
+    S must be a multiple of SCAN_TILE or a power of two below it.
+    """
+    S = pts[0].shape[1]
+    T = min(SCAN_TILE, S & -S)      # largest pow2 tile dividing S
+    assert S % T == 0 and (T & (T - 1)) == 0, (S, T)
+    steps = T.bit_length() - 1
+    w_n3, w_p_hi, w_c, b3t, kp, k0t, k1t = _fp_consts()
+    bf = lambda x: jnp.asarray(x, dtype=jnp.bfloat16)
+    id1 = np.tile(_digits_of(fd32.FP.r_mont, ND)[:, None],
+                  (1, 128)).astype(np.float32)
+    if na == 3:
+        consts = (bf(w_n3), bf(w_p_hi), bf(w_c), bf(b3t), jnp.asarray(kp),
+                  jnp.asarray(id1))
+    else:
+        consts = (bf(w_n3), bf(w_p_hi), bf(w_c), jnp.asarray(kp),
+                  bf(k0t), bf(k1t), jnp.asarray(id1))
+    tile_spec = pl.BlockSpec((ND, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    head_spec = pl.BlockSpec((1, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    heads_f = heads.astype(jnp.float32).reshape(1, S)
+    out = pl.pallas_call(
+        _seg_scan_kernel(na, steps),
+        grid=(S // T,),
+        in_specs=[tile_spec] * na + [head_spec]
+                 + [full(c.shape) for c in consts],
+        out_specs=(tile_spec,) * na,
+        out_shape=tuple(jax.ShapeDtypeStruct((ND, S), jnp.float32)
+                        for _ in range(na)),
+        scratch_shapes=[pltpu.VMEM((ND, 128), jnp.float32)] * na,
+        interpret=jax.default_backend() != "tpu",
+    )(*pts, heads_f, *consts)
+    return out
 
 
 def _pallas_add(kernel, n_in, arrs1, arrs2, tile):

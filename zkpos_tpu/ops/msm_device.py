@@ -129,22 +129,58 @@ def _select(mask, a_arrs, b_arrs):
     return tuple(jnp.where(mask[None], x, y) for x, y in zip(a_arrs, b_arrs))
 
 
-def _combine_seg(na: int):
-    """Segmented-sum scan operator over (flag, point) elements."""
+def _seg_scan_hs(na, flags, pts, axis=2):
+    """Inclusive segmented scan via Hillis–Steele with a DYNAMIC shift:
+    ONE point-add instance traced for the whole scan (log2(L) fori_loop
+    iterations), vs `lax.associative_scan`'s ~2·log2(L) distinct combine
+    instances — the XLA-path graphs (CPU tests, virtual-mesh dryrun)
+    compile several times faster for ~2x more arithmetic.
 
-    def combine(a, b):
-        fa, pa = a[0], a[1:]
-        fb, pb = b[0], b[1:]
-        s = _padd(na, pa, pb)
-        return (fa | fb,) + _select(fb[0], pb, s)   # fb: (1, W, L)
+    flags: (..., L) bool segment heads; pts: na x (34, ..., L).
+    Returns (flags_out, pts_out) with the inclusive per-segment sums."""
+    L = pts[0].shape[axis]
+    steps = max(L.bit_length() - 1, 0)
+    if (1 << steps) < L:
+        steps += 1
+    ids = _id_arrs_np(na)
+    idy = [jnp.asarray(i).reshape((34,) + (1,) * (pts[0].ndim - 1))
+           for i in ids]
+    lane = jax.lax.broadcasted_iota(jnp.int32, flags.shape,
+                                    flags.ndim - 1)
 
-    return combine
+    def body(s, state):
+        f, cur = state
+        sh = jax.lax.shift_left(jnp.int32(1), s)
+        valid = lane >= sh
+        part = tuple(
+            jnp.where(valid[None], jnp.roll(a, sh, axis=axis), i)
+            for a, i in zip(cur, idy))
+        pf = jnp.where(valid, jnp.roll(f, sh, axis=f.ndim - 1), False)
+        summed = _padd(na, part, cur)
+        cur = _select(f, cur, summed)
+        return f | pf, cur
+
+    f_out, p_out = jax.lax.fori_loop(0, steps, body, (flags, tuple(pts)))
+    return f_out, p_out
 
 
-def _combine_sum(na: int):
-    def combine(a, b):
-        return _padd(na, a, b)
-    return combine
+def _butterfly_reduce(na, arrs, axis=2):
+    """EC sum over `axis` via roll butterfly: ONE add body in a fori_loop
+    (the unrolled pairwise-halving tree compiled log2(L) distinct graphs).
+    Lanes other than index 0 carry garbage afterwards."""
+    L = arrs[0].shape[axis]
+    levels = max(L.bit_length() - 1, 0)
+    if (1 << levels) < L:
+        raise ValueError("butterfly reduce needs power-of-two length")
+
+    def body(k, cur):
+        sh = jax.lax.shift_left(jnp.int32(1), k)
+        part = tuple(jnp.roll(a, -sh, axis=axis) for a in cur)
+        return _padd(na, cur, part)
+
+    out = jax.lax.fori_loop(0, levels, body, tuple(arrs))
+    return tuple(jax.lax.index_in_dim(a, 0, axis=axis, keepdims=True)
+                 for a in out)
 
 
 # --- host window decomposition ----------------------------------------------
@@ -207,7 +243,6 @@ def _chunk_body(na, W, Cn, c, base, sdig, sidx, dense, carry_dig,
     jit wrapper and the shard_map multichip path): gather + segmented
     scan + dense-grid extraction."""
     nb = 1 << c
-    combine = _combine_seg(na)
     queries = np.broadcast_to(np.arange(nb, dtype=np.int32), (W, nb))
     if True:
         pts = tuple(jnp.take(a, sidx.reshape(-1), axis=1)
@@ -223,9 +258,7 @@ def _chunk_body(na, W, Cn, c, base, sdig, sidx, dense, carry_dig,
         heads = jnp.concatenate(
             [(sdig[:, 0:1] != carry_dig[:, None]),
              sdig[:, 1:] != sdig[:, :-1]], axis=1)            # (W, Cn)
-        flags = jnp.broadcast_to(heads[None], (1, W, Cn))
-        scan = jax.lax.associative_scan(combine, (flags,) + pts, axis=2)
-        spts = scan[1:]
+        _, spts = _seg_scan_hs(na, heads, pts, axis=2)
         # dense update: binary search each bucket's last occurrence
         pos = jax.vmap(
             lambda a, q: jnp.searchsorted(a, q, side="right"))(
@@ -258,42 +291,152 @@ def _chunk_fn(na: int, W: int, Cn: int, c: int):
     return run
 
 
+def _chunk_body_flat(na, W, Cn, c, base, sdig, sidx, dense, carry_dig,
+                     carry_pt):
+    """TPU chunk body: gather, then ONE segmented-scan Pallas kernel over
+    the flattened (window-major) sorted stream (ec_pallas.seg_scan_pallas)
+    instead of the round-4 `lax.associative_scan` chain — each stream
+    element now makes exactly one HBM round trip.  Window boundaries get
+    forced segment heads (the per-window cross-chunk carry is folded into
+    each window's first element beforehand), so the kernel's single carry
+    chain cannot leak across windows."""
+    from .ec_pallas import seg_scan_pallas
+    nb = 1 << c
+    S = W * Cn
+    pts3 = tuple(jnp.take(a, sidx.reshape(-1), axis=1)
+                 .reshape(34, W, Cn).astype(jnp.float32) for a in base)
+    # fold the per-window carry into position 0 when its segment continues
+    cont = (sdig[:, 0] == carry_dig)                      # (W,)
+    first = tuple(a[:, :, 0] for a in pts3)               # (34, W)
+    merged = _padd(na, first, carry_pt)
+    first = _select(cont[None], merged, first)
+    pts3 = tuple(jnp.concatenate([f[:, :, None], a[:, :, 1:]], axis=2)
+                 for f, a in zip(first, pts3))
+    heads = jnp.concatenate(
+        [jnp.ones((W, 1), dtype=bool),
+         sdig[:, 1:] != sdig[:, :-1]], axis=1)            # (W, Cn)
+    scan = seg_scan_pallas(
+        na, tuple(a.reshape(34, S) for a in pts3), heads.reshape(S))
+    scan3 = tuple(a.reshape(34, W, Cn) for a in scan)
+    # dense update: binary search each bucket's last occurrence
+    queries = np.broadcast_to(np.arange(nb, dtype=np.int32), (W, nb))
+    pos = jax.vmap(
+        lambda a, q: jnp.searchsorted(a, q, side="right"))(
+            sdig, jnp.asarray(queries)) - 1               # (W, nb)
+    valid = (pos >= 0) & (
+        jnp.take_along_axis(sdig, jnp.clip(pos, 0, Cn - 1), axis=1)
+        == jnp.asarray(queries))
+    posc = jnp.clip(pos, 0, Cn - 1)
+    upd = tuple(jnp.take_along_axis(a, posc[None], axis=2)
+                for a in scan3)
+    dense = tuple(jnp.where(valid[None], u, d)
+                  for u, d in zip(upd, dense))
+    new_cd = sdig[:, -1]
+    new_cp = tuple(a[:, :, -1] for a in scan3)
+    return dense, new_cd, new_cp
+
+
+def _horner_windows(na, W, c, rw):
+    """Window results rw (na x (34, W)) -> final point via W-step Horner
+    with c doublings per window (runs inside jit; fori_loop body traced
+    once)."""
+    ids = _id_arrs_np(na)
+
+    def win_body(i, acc):
+        w = W - 1 - i
+
+        def dbl_body(_, a):
+            return _padd(na, a, a)
+
+        acc = jax.lax.fori_loop(0, c, dbl_body, acc)
+        pw = tuple(jax.lax.dynamic_slice(a, (0, w), (34, 1))
+                   for a in rw)
+        return _padd(na, acc, pw)
+
+    acc0 = tuple(jnp.asarray(i) for i in ids)
+    return jax.lax.fori_loop(0, W, win_body, acc0)
+
+
+def _fold_body_flat(na, W, c, dense):
+    """TPU bucket fold: the suffix sums T_j = Σ_{b>=j} S_b and the window
+    totals Σ_{j>=1} T_j both run as flattened segmented scans (one kernel
+    each) instead of associative_scan + pairwise tree; then the W-step
+    Horner."""
+    from .ec_pallas import seg_scan_pallas
+    nb = 1 << c
+    S = W * nb
+    heads = jnp.zeros((W, nb), dtype=bool).at[:, 0].set(True).reshape(S)
+    rev = tuple(a[:, :, ::-1].reshape(34, S) for a in dense)
+    suf = seg_scan_pallas(na, rev, heads)
+    suf3 = tuple(a.reshape(34, W, nb)[:, :, ::-1] for a in suf)
+    # bucket 0 has weight 0: replace T_0 with the identity column
+    ids = _id_arrs_np(na)
+    idcol = tuple(jnp.broadcast_to(jnp.asarray(i)[:, :, None], (34, W, 1))
+                  for i in ids)
+    arr = tuple(jnp.concatenate([i, s[:, :, 1:]], axis=2)
+                for i, s in zip(idcol, suf3))
+    tot = seg_scan_pallas(na, tuple(a.reshape(34, S) for a in arr), heads)
+    rw = tuple(a.reshape(34, W, nb)[:, :, -1] for a in tot)   # (34, W)
+    return _horner_windows(na, W, c, rw)
+
+
+@lru_cache(maxsize=None)
+def _msm_stream_fn(na: int, W: int, Cn: int, c: int, n_chunks: int):
+    """ONE jit for the whole MSM: fori_loop over sorted-stream chunks +
+    bucket fold + Horner — a single host dispatch per MSM (the round-4
+    python chunk loop paid per-chunk dispatch latency over the tunnel).
+    The flattened Pallas-scan bodies run on TPU; the associative-scan
+    bodies remain the CPU/virtual-mesh path."""
+    on_tpu = jax.default_backend() == "tpu" and _EC_ENGINE != "xla"
+    chunk_body = _chunk_body_flat if on_tpu else _chunk_body
+    fold_body = _fold_body_flat if on_tpu else _fold_body
+
+    @jax.jit
+    def run(base, sdig_all, sidx_all):
+        nb = 1 << c
+        ids = _id_arrs_np(na)
+        dense = tuple(jnp.broadcast_to(jnp.asarray(i)[:, :, None],
+                                       (34, W, nb)) for i in ids)
+        cd = jnp.full((W,), -1, dtype=jnp.int32)
+        cp = tuple(jnp.broadcast_to(jnp.asarray(i), (34, W)) for i in ids)
+
+        def step(k, state):
+            dense, cd, cp = state
+            start = k * Cn
+            sdig = jax.lax.dynamic_slice(sdig_all, (0, start), (W, Cn))
+            sidx = jax.lax.dynamic_slice(sidx_all, (0, start), (W, Cn))
+            return chunk_body(na, W, Cn, c, base, sdig, sidx, dense,
+                              cd, cp)
+
+        dense, cd, cp = jax.lax.fori_loop(0, n_chunks, step,
+                                          (dense, cd, cp))
+        return _finalize_pt(fold_body(na, W, c, dense))
+
+    return run
+
+
 def _fold_body(na, W, c, dense):
     """Traced bucket fold: suffix scan over buckets, tree-reduce of
     T_{j>=1}, Horner across windows — returns the RAW (lazy-domain)
     result point digits (na x (34, 1))."""
     nb = 1 << c
-    combine = _combine_sum(na)
     ids = _id_arrs_np(na)
     if True:
-        suffix = jax.lax.associative_scan(combine, dense, axis=2,
-                                          reverse=True)
+        # suffix sums T_j = Σ_{b>=j} S_b: reversed Hillis–Steele scan with
+        # one segment per window (ONE add body)
+        heads = jnp.zeros((W, nb), dtype=bool).at[:, 0].set(True)
+        rev = tuple(a[:, :, ::-1] for a in dense)
+        _, suf = _seg_scan_hs(na, heads, rev, axis=2)
+        suffix = tuple(a[:, :, ::-1] for a in suf)
         # zero out bucket 0 (weight 0): replace with identity column
         idcol = tuple(jnp.broadcast_to(jnp.asarray(i)[:, :, None],
                                        (34, W, 1)) for i in ids)
         arr = tuple(jnp.concatenate([i, s[:, :, 1:]], axis=2)
                     for i, s in zip(idcol, suffix))
-        lv = nb
-        while lv > 1:
-            arr = _padd(na, tuple(a[:, :, 0::2] for a in arr),
-                        tuple(a[:, :, 1::2] for a in arr))
-            lv //= 2
+        arr = _butterfly_reduce(na, arr, axis=2)
         # arr: (34, W, 1) per-window results; Horner over windows
         rw = tuple(a[:, :, 0] for a in arr)                   # (34, W)
-
-        def win_body(i, acc):
-            w = W - 1 - i
-
-            def dbl_body(_, a):
-                return _padd(na, a, a)
-
-            acc = jax.lax.fori_loop(0, c, dbl_body, acc)
-            pw = tuple(jax.lax.dynamic_slice(a, (0, w), (34, 1))
-                       for a in rw)
-            return _padd(na, acc, pw)
-
-        acc0 = tuple(jnp.asarray(i) for i in ids)
-        return jax.lax.fori_loop(0, W, win_body, acc0)
+        return _horner_windows(na, W, c, rw)
 
 
 def _finalize_pt(res):
@@ -388,13 +531,28 @@ class ScalarPlan:
         if self.K == 0:
             self.dig_dev = self.idx_dev = None
             return
-        pad = self.Np - self.n
-        dig = np.pad(win, ((0, 0), (pad, 0))).astype(np.int32)
-        idx = np.zeros((self.W, self.Np), dtype=np.int32)
-        idx[:, pad:] = np.arange(1, self.n + 1, dtype=np.int32)[None]
-        sd, si = _sort_fn(self.W, self.Np)(jnp.asarray(dig),
-                                           jnp.asarray(idx))
+        # upload the u16 window digits ONLY (half the round-4 bytes over
+        # the tunnel); padding, the point-index array and the sort all run
+        # on device
+        sd, si = _plan_fn(self.W, self.n, self.Np)(jnp.asarray(win))
         self.dig_dev, self.idx_dev = sd, si
+
+
+@lru_cache(maxsize=None)
+def _plan_fn(W: int, n: int, Np: int):
+    """jit: (W, n) u16 window digits -> front-padded, index-tagged,
+    per-window-sorted (dig, idx) i32 arrays."""
+
+    @jax.jit
+    def run(win_u16):
+        dig = jnp.pad(win_u16.astype(jnp.int32), ((0, 0), (Np - n, 0)))
+        idx = jnp.pad(
+            jnp.broadcast_to(jnp.arange(1, n + 1, dtype=jnp.int32),
+                             (W, n)),
+            ((0, 0), (Np - n, 0)))
+        return jax.lax.sort((dig, idx), dimension=1, num_keys=1)
+
+    return run
 
 
 def _chunk_cols(W: int) -> int:
@@ -417,8 +575,23 @@ def msm(curve: str, base, scalars=None, plan: Optional[ScalarPlan] = None):
     if plan.K == 0:
         return None
     # G2 works on 6 coordinate arrays — halve the chunk so the gather +
-    # scan transients fit next to the resident pk (v5e HBM)
-    Cn = plan.Cn if na == 3 else max(256, plan.Cn // 2)
+    # scan transients fit next to the resident pk (v5e HBM); tiny explicit
+    # chunks (tests) are kept as-is so Cn always divides plan.Np
+    Cn = plan.Cn if na == 3 or plan.Cn <= 512 else plan.Cn // 2
+    if os.environ.get("ZKPOS_MSM_IMPL") == "legacy":
+        return _msm_legacy(na, plan, base, Cn)
+    # fused path: fori_loop over ALL Np/Cn chunks (static count — leading
+    # zero-digit runs only touch bucket 0, which the fold ignores) + fold,
+    # ONE dispatch per MSM
+    n_chunks = plan.Np // Cn
+    out = _msm_stream_fn(na, plan.W, Cn, plan.c, n_chunks)(
+        base, plan.dig_dev, plan.idx_dev)
+    from_dev = ecf.g1_from_device if na == 3 else ecf.g2_from_device
+    return from_dev(_wrap(na, out))[0]
+
+
+def _msm_legacy(na, plan, base, Cn):
+    """Round-4 per-chunk dispatch loop (A/B fallback: ZKPOS_MSM_IMPL=legacy)."""
     n_chunks = -(-plan.K // Cn)
     nb = 1 << plan.c
     ids = _id_arrs_np(na)

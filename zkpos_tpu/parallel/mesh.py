@@ -217,13 +217,8 @@ def sharded_stream_msm(mesh: Mesh, bases_u8, digs, idxs, c: int,
         gath = tuple(
             jax.lax.all_gather(a, axis, axis=2).reshape(NDIGITS, n_dev)
             for a in part)
-        # fold partials across devices (pairwise halving)
-        lv = n_dev
-        arr = gath
-        while lv > 1:
-            arr = md._padd(na, tuple(a[:, 0::2] for a in arr),
-                           tuple(a[:, 1::2] for a in arr))
-            lv //= 2
+        # fold partials across devices (single-body roll butterfly)
+        arr = md._butterfly_reduce(na, gath, axis=1)
         return md._finalize_pt(arr)
 
     return step(*bases_u8, digs, idxs)

@@ -27,7 +27,6 @@ from ..db.storage import (Database, DbErrNotFound, ProofModel, ProofRow,
 from ..groth16 import groth16 as g16
 from ..groth16.serialize import proof_to_base64
 from ..utils import constants as C
-from ..utils.types import is_asset_empty
 from .keygen import key_file_names, load_artifact
 
 
@@ -65,21 +64,21 @@ class Prover:
 
     # -- proving --------------------------------------------------------------
 
-    def _assets_tier_of(self, wit) -> int:
-        counts = sum(0 if is_asset_empty(a) else 1
-                     for a in wit.create_user_ops[0].assets)
-        for t in sorted(self.tiers):
-            if counts <= t:
-                return t
-        raise ValueError("no tier fits")
-
     def generate_and_verify_proof(self, wit, batch_number: int):
         """prover.go:250-283.  The witness solve runs in the native VM
         replaying the artifact's recorded solver program (gnark-style
         .r1cs semantics); the eager python define() remains the
         fallback."""
-        assets = self._assets_tier_of(wit)
         circuit_w = bcu.set_batch_create_user_circuit_witness(wit)
+        # tier = the PADDED per-user asset-list length of the circuit
+        # witness (reference prover.go:258 uses
+        # len(circuitWitness.CreateUserOps[0].Assets)) — guaranteed
+        # consistent with the adapter's own padding, including the
+        # all-padding tail-batch edge where op[0] has zero non-empty
+        # assets and the adapter pads to the smallest tier.
+        assets = len(circuit_w.create_user_ops[0].assets)
+        if assets not in self.tiers:
+            raise ValueError(f"no tier fits padded asset count {assets}")
         r1cs_meta, pk, vk = self.load_snark_params_once(assets)
         key = None
         if pk.commit_wires is not None:
