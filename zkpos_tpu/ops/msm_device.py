@@ -8,24 +8,33 @@ tunnel, the host ran the final Horner in Python, and the device results
 buffer scaled with the stream (the 2^21-tier HBM OOM, VERDICT r3 weak #1).
 
 This engine ships ONLY the window digits (uint16, same bytes as the
-scalars) and runs everything else on device:
+scalars) and runs everything else on device, in ONE jit dispatch per MSM
+(round-5 rework — the round-4 version paid per-chunk dispatch latency
+and `lax.associative_scan`'s per-level HBM round trips):
 
-  1. HOST: numpy window decomposition (c-bit digits, c <= 16); one upload.
+  1. HOST: numpy window decomposition (c-bit digits, c <= 16); one u16
+     upload; padding/indexing/sort on device (ScalarPlan).
   2. DEVICE sort: `lax.sort` of (digits, point-index) per window — the
      bucket grouping for all windows in one dispatch.
-  3. DEVICE segmented scan: chunks of the sorted stream are gathered from
-     the resident base and reduced with `lax.associative_scan` using the
-     segmented-sum operator ((f1,p1)⊕(f2,p2) = (f1|f2, f2 ? p2 : p1+p2));
-     a (digit, sum) carry chains chunks so segments may span chunks.
-     Each bucket's sum is extracted into a dense (W, 2^c) bucket grid by a
-     vectorized binary search (no scatter): its row in the grid is updated
-     whenever a chunk contains the bucket's last-so-far occurrence, so the
-     final chunk to see a bucket leaves the complete sum.  ~2 point-adds
-     per stream entry, fixed shapes, bounded memory (chunk + dense grid).
+  3. DEVICE segmented scan over sorted-stream chunks, inside a fori_loop:
+     gather from the resident base, then ONE Pallas kernel per chunk
+     (ec_pallas.seg_scan_pallas) computes the inclusive segmented EC-sum
+     scan tile-by-tile in VMEM (Hillis–Steele over lanes, carry point in
+     scratch across the sequential grid) — each stream element makes
+     exactly one HBM round trip.  Windows are flattened into one stream
+     with forced heads at window starts; the per-window cross-chunk carry
+     is folded into each window's first element beforehand.  Each
+     bucket's sum lands in a dense (W, 2^c) grid via a vectorized binary
+     search over the chunk (no scatter): the last chunk to see a bucket
+     leaves the complete sum.
   4. DEVICE bucket fold: suffix-sum formulation Σ_b b·S_b = Σ_{j>=1} T_j
-     with T_j = Σ_{b>=j} S_b — one reverse `associative_scan` over the
-     bucket axis plus a pairwise tree reduce (~3·2^c·W adds total), then a
+     with T_j = Σ_{b>=j} S_b — a reversed segmented scan over the bucket
+     axis plus a forward scan for the window totals (same kernel), then a
      W-step Horner with c doublings per window.  ONE point is read back.
+
+The CPU/virtual-mesh path keeps pure-XLA bodies (Hillis–Steele fori_loop
+with a dynamic shift: ONE point-add instance per scan, so test/dryrun
+graphs compile fast cold).
 
 Point arithmetic is the complete-formula projective add of ops/ec_f32.py
 on the f32-digit Montgomery engine (ops/fd32.py); identity columns make
@@ -162,6 +171,55 @@ def _seg_scan_hs(na, flags, pts, axis=2):
 
     f_out, p_out = jax.lax.fori_loop(0, steps, body, (flags, tuple(pts)))
     return f_out, p_out
+
+
+_TREE_BASE = 4096
+
+
+def _seg_scan_tree(na, f, pts):
+    """Work-efficient inclusive segmented scan on a FLAT stream:
+    recursive pair-halving (Blelloch-style, ~2 point-adds per entry)
+    driven at the XLA level with the pairwise Pallas add, with the
+    VMEM Hillis–Steele kernel (11 adds/entry) as the small base case.
+    The round-5 HS-only kernel spent 11 adds/entry at every size — at
+    2^20 entries that was ~0.24 s/chunk of pure overwork.
+
+    f: (S,) bool heads; pts: na x (34, S).  Returns na x (34, S)."""
+    S = pts[0].shape[-1]
+    if S <= _TREE_BASE:
+        if jax.default_backend() == "tpu" and _EC_ENGINE != "xla":
+            from .ec_pallas import seg_scan_pallas
+            return seg_scan_pallas(na, pts, f)
+        _, out = _seg_scan_hs(na, f, pts, axis=1)
+        return out
+    odd = S % 2
+    if odd:
+        f_head, pts_head = f[:-1], tuple(p[:, :-1] for p in pts)
+    else:
+        f_head, pts_head = f, pts
+    ev = tuple(p[:, 0::2] for p in pts_head)
+    od = tuple(p[:, 1::2] for p in pts_head)
+    fe, fo = f_head[0::2], f_head[1::2]
+    s = _padd(na, ev, od)
+    pair = _select(fo, od, s)                  # segmented pair combine
+    ps = _seg_scan_tree(na, fe | fo, pair)     # scan at odd positions
+    # even fixup: out_even[j] = fe[j] ? ev[j] : ps[j-1] (+) ev[j]
+    ids = _id_arrs_np(na)
+    ps_shift = tuple(
+        jnp.concatenate([jnp.broadcast_to(jnp.asarray(i), (34, 1)),
+                         p[:, :-1]], axis=1)
+        for i, p in zip(ids, ps))
+    e2 = _padd(na, ps_shift, ev)
+    out_even = _select(fe, ev, e2)
+    out = tuple(jnp.stack([a, b], axis=-1).reshape(34, S - odd)
+                for a, b in zip(out_even, ps))
+    if odd:
+        last = tuple(p[:, -1:] for p in pts)
+        merged = _padd(na, tuple(p[:, -1:] for p in out), last)
+        tail = _select(f[-1:], last, merged)
+        out = tuple(jnp.concatenate([p, t], axis=1)
+                    for p, t in zip(out, tail))
+    return out
 
 
 def _butterfly_reduce(na, arrs, axis=2):
@@ -307,16 +365,21 @@ def _chunk_body_flat(na, W, Cn, c, base, sdig, sidx, dense, carry_dig,
                  .reshape(34, W, Cn).astype(jnp.float32) for a in base)
     # fold the per-window carry into position 0 when its segment continues
     cont = (sdig[:, 0] == carry_dig)                      # (W,)
-    first = tuple(a[:, :, 0] for a in pts3)               # (34, W)
-    merged = _padd(na, first, carry_pt)
-    first = _select(cont[None], merged, first)
-    pts3 = tuple(jnp.concatenate([f[:, :, None], a[:, :, 1:]], axis=2)
+    first = tuple(a[:, :, 0:1] for a in pts3)             # (34, W, 1)
+    cpt = tuple(a.reshape(34, W, 1) for a in carry_pt)
+    merged = _padd(na, first, cpt)
+    first = _select(cont[:, None], merged, first)
+    pts3 = tuple(jnp.concatenate([f, a[:, :, 1:]], axis=2)
                  for f, a in zip(first, pts3))
     heads = jnp.concatenate(
         [jnp.ones((W, 1), dtype=bool),
          sdig[:, 1:] != sdig[:, :-1]], axis=1)            # (W, Cn)
-    scan = seg_scan_pallas(
-        na, tuple(a.reshape(34, S) for a in pts3), heads.reshape(S))
+    if os.environ.get("ZKPOS_MSM_SCAN") == "hs":
+        scan = seg_scan_pallas(
+            na, tuple(a.reshape(34, S) for a in pts3), heads.reshape(S))
+    else:
+        scan = _seg_scan_tree(
+            na, heads.reshape(S), tuple(a.reshape(34, S) for a in pts3))
     scan3 = tuple(a.reshape(34, W, Cn) for a in scan)
     # dense update: binary search each bucket's last occurrence
     queries = np.broadcast_to(np.arange(nb, dtype=np.int32), (W, nb))
@@ -367,7 +430,7 @@ def _fold_body_flat(na, W, c, dense):
     S = W * nb
     heads = jnp.zeros((W, nb), dtype=bool).at[:, 0].set(True).reshape(S)
     rev = tuple(a[:, :, ::-1].reshape(34, S) for a in dense)
-    suf = seg_scan_pallas(na, rev, heads)
+    suf = _seg_scan_tree(na, heads, rev)
     suf3 = tuple(a.reshape(34, W, nb)[:, :, ::-1] for a in suf)
     # bucket 0 has weight 0: replace T_0 with the identity column
     ids = _id_arrs_np(na)
@@ -375,7 +438,7 @@ def _fold_body_flat(na, W, c, dense):
                   for i in ids)
     arr = tuple(jnp.concatenate([i, s[:, :, 1:]], axis=2)
                 for i, s in zip(idcol, suf3))
-    tot = seg_scan_pallas(na, tuple(a.reshape(34, S) for a in arr), heads)
+    tot = _seg_scan_tree(na, heads, tuple(a.reshape(34, S) for a in arr))
     rw = tuple(a.reshape(34, W, nb)[:, :, -1] for a in tot)   # (34, W)
     return _horner_windows(na, W, c, rw)
 
@@ -471,6 +534,42 @@ def device_base(curve: str, points, quantum: int = 4096) -> tuple:
     from ..utils import native
     from .fd32 import FP
     na = 3 if curve == "g1" else 6
+    from ..groth16.artifact import PointArray
+    if isinstance(points, PointArray):
+        # artifact fast path: coordinate limbs already in u64 rows — no
+        # python-bigint round trip at prover startup (the 12 GB gnark pk
+        # stream analog, prover.go:302-343)
+        assert points.curve == curve
+        n = len(points)
+        id_vals = [0, 1, 0] if na == 3 else [0, 0, 1, 0, 0, 0]
+        P = -(-(n + 1) // quantum) * quantum
+        shift = pow(2, 272 + 256, FP.modulus)
+        mask = points.mask.astype(np.uint64)
+        ncoord = 2 if na == 3 else 4
+        y_slot = 1 if na == 3 else 2       # y (G1) / y0 (G2): 1 at identity
+        z_slot = 2 if na == 3 else 4       # z (G1) / z0 (G2): the mask
+        out = []
+        for k in range(na):
+            limbs = np.zeros((n + 1, 4), dtype=np.uint64)
+            limbs[0, 0] = id_vals[k]
+            if k == z_slot:
+                limbs[1:, 0] = mask
+            elif k < ncoord:               # stored coordinate (0 at None)
+                limbs[1:] = points.limbs[:, k, :]
+                if k == y_slot:
+                    limbs[1:, 0] |= (1 - mask) & np.uint64(1)
+            mont = native.mul_const_batch(limbs, shift, FP.modulus,
+                                          which=native.FP_IDX)
+            if mont is not None:
+                dig = native.u256_to_digits(mont)
+            else:
+                dig = FP.ints_to_digits(
+                    [(v * FP.r_mont) % FP.modulus
+                     for v in native.limbs_to_ints(limbs)])
+            arr = np.zeros((34, P), dtype=np.uint8)
+            arr[:, :dig.shape[1]] = dig.astype(np.uint8)
+            out.append(jnp.asarray(arr))
+        return tuple(out)
     if curve == "g1":
         cols = [[0 if p is None else p[0] for p in points],
                 [1 if p is None else p[1] for p in points]]
@@ -556,9 +655,12 @@ def _plan_fn(W: int, n: int, Np: int):
 
 
 def _chunk_cols(W: int) -> int:
-    """Columns per chunk: targets ~2^20 stream entries per dispatch
-    (ZKPOS_MSM_CHUNK env overrides the entry budget)."""
-    budget = int(os.environ.get("ZKPOS_MSM_CHUNK", str(1 << 20)))
+    """Columns per chunk: targets ~2^21 stream entries per chunk body
+    (ZKPOS_MSM_CHUNK env overrides).  Bigger chunks amortize the dense
+    bucket-grid rewrite (each chunk touches up to the whole grid); the
+    gather+scan transients at 2^21 entries are ~3.3 GB, which
+    _prove_reserve_bytes accounts for."""
+    budget = int(os.environ.get("ZKPOS_MSM_CHUNK", str(1 << 21)))
     per_row = max(budget // max(W, 1), 256)
     return 1 << (per_row.bit_length() - 1)      # floor pow2
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import base64
 import json
-import pickle
 import time
 from typing import Dict, Optional
 

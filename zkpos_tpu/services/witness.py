@@ -193,43 +193,70 @@ class WitnessService:
                 sub = accs[chunk:chunk + 8192]
                 for acc, leaf in zip(sub, wcore.account_leaves(sub)):
                     leaves[acc.account_index] = fr_to_bytes(leaf)
-        rows = []
+        # segment-parallel row building (reference userproof.go:87-149:
+        # 10k-account segments over NumCPU workers) with ORDERED writes —
+        # resume-by-max-index stays sound because segment k+1 is only
+        # written after segment k.  Proofs come from the level-deduped
+        # batch path (merkle/tree.py get_proofs_batch).  Workers are
+        # fork-children that touch only plain data (no jax);
+        # ZKPOS_USERPROOF_WORKERS=0 forces the serial path.
+        import os as _os
+        root_hex = self.tree.root().hex()
+        seg_len = 10_000
+        n_workers = int(_os.environ.get(
+            "ZKPOS_USERPROOF_WORKERS", str(max(1, (_os.cpu_count() or 2)))))
         written = 0
-        for idx in range(start, self.capacity):
-            acc = all_accounts[idx]
-            leaf = leaves[idx]
-            proof = self.tree.get_proof(idx)
-            config = {
-                "AccountIndex": idx,
-                "AccountIdHash": acc.account_id.hex(),
-                "TotalEquity": acc.total_equity,
-                "TotalDebt": acc.total_debt,
-                "TotalCollateral": acc.total_collateral,
-                "Assets": [{
-                    "Index": a.index, "Equity": a.equity, "Debt": a.debt,
-                    "Loan": a.loan, "Margin": a.margin,
-                    "PortfolioMargin": a.portfolio_margin,
-                } for a in acc.assets if not _empty(a)],
-                "Root": self.tree.root().hex(),
-                "Proof": [base64.b64encode(p).decode() for p in proof],
-            }
-            rows.append(UserProofRow(
-                account_index=idx,
-                account_id=acc.account_id.hex(),
-                account_leaf=base64.b64encode(leaf).decode(),
-                total_equity=str(acc.total_equity),
-                total_debt=str(acc.total_debt),
-                total_collateral=str(acc.total_collateral),
-                config=json.dumps(config)))
-            if len(rows) >= flush:
+        segments = list(range(start, self.capacity, seg_len))
+
+        def seg_payload(lo):
+            hi = min(lo + seg_len, self.capacity)
+            idxs = list(range(lo, hi))
+            proofs = self.tree.get_proofs_batch(idxs)
+            plain = []
+            for i in idxs:
+                acc = all_accounts[i]
+                plain.append((
+                    i, acc.account_id.hex(), acc.total_equity,
+                    acc.total_debt, acc.total_collateral,
+                    [(a.index, a.equity, a.debt, a.loan, a.margin,
+                      a.portfolio_margin)
+                     for a in acc.assets if not _empty(a)],
+                    leaves[i]))
+            return (plain, proofs, root_hex)
+
+        def write_rows(tuples):
+            nonlocal written
+            for lo2 in range(0, len(tuples), flush):
+                rows = [UserProofRow(*t) for t in tuples[lo2:lo2 + flush]]
                 self.userproof_model.create_user_proofs(rows)
                 written += len(rows)
-                rows = []
-        if rows:
-            self.userproof_model.create_user_proofs(rows)
-            written += len(rows)
+
+        pool = None
+        if n_workers > 1 and len(segments) > 1:
+            try:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+                pool = ProcessPoolExecutor(
+                    max_workers=n_workers, mp_context=mp.get_context("fork"))
+            except (ImportError, ValueError, OSError):
+                pool = None
+        if pool is not None:
+            with pool:
+                pending = []
+                for lo in segments:
+                    pending.append(pool.submit(_userproof_rows_segment,
+                                               seg_payload(lo)))
+                    # bounded in-flight window; collect IN ORDER
+                    while len(pending) > n_workers + 1:
+                        write_rows(pending.pop(0).result())
+                for fut in pending:
+                    write_rows(fut.result())
+        else:
+            for lo in segments:
+                write_rows(_userproof_rows_segment(seg_payload(lo)))
         self.userproof_model.add_account_id_index()
-        print(f"witness: wrote {written} user proofs")
+        print(f"witness: wrote {written} user proofs "
+              f"({n_workers if pool else 0} segment workers)")
         return written
 
     def run(self):
@@ -242,6 +269,32 @@ class WitnessService:
 def _empty(a) -> bool:
     from ..utils.types import is_asset_empty
     return is_asset_empty(a)
+
+
+def _userproof_rows_segment(payload):
+    """Worker body for one userproof segment (userproof.go:87-149 analog):
+    plain tuples in, UserProofRow constructor tuples out — safe to run in
+    a fork child (json/base64 only, no jax)."""
+    plain, proofs, root_hex = payload
+    out = []
+    for (idx, acc_id_hex, te, td, tc, assets, leaf), proof in zip(
+            plain, proofs):
+        config = {
+            "AccountIndex": idx,
+            "AccountIdHash": acc_id_hex,
+            "TotalEquity": te,
+            "TotalDebt": td,
+            "TotalCollateral": tc,
+            "Assets": [{
+                "Index": a[0], "Equity": a[1], "Debt": a[2],
+                "Loan": a[3], "Margin": a[4], "PortfolioMargin": a[5],
+            } for a in assets],
+            "Root": root_hex,
+            "Proof": [base64.b64encode(p).decode() for p in proof],
+        }
+        out.append((idx, acc_id_hex, base64.b64encode(leaf).decode(),
+                    str(te), str(td), str(tc), json.dumps(config)))
+    return out
 
 
 def main(argv=None):
