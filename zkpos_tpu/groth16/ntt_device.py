@@ -137,6 +137,11 @@ def _twiddle_mul_bc(x, tw):
 
 
 def _dif_stages(a, log_n: int, inverse: bool, reverse_order: bool, tws):
+    """All stage views keep the MINOR-TWO dims fat: u/v come from
+    contiguous-half slices of rank-3 views (never a size-2 axis in the
+    minor-two position — XLA pads the last two dims to (8, 128) tiles, so
+    a (.., 2, half) view cost 4x HBM on every stage temp, and half < 128
+    cost up to 128x: the round-4 d=2^21 steady-prove OOM)."""
     n = 1 << log_n
     stages = _stage_tables(log_n, inverse)
     order = (range(log_n - 1, -1, -1) if reverse_order
@@ -159,19 +164,23 @@ def _dif_stages(a, log_n: int, inverse: bool, reverse_order: bool, tws):
             a = a.transpose(0, 2, 1).reshape(NDIGITS, n)
             transposed = False
         if transposed:
+            # block (2*half, m) flattened on the minor axis: u/v are
+            # contiguous halves, twiddles repeat per original position
             bl = L // (2 * half)
-            v5 = a.reshape(NDIGITS, bl, 2, half, m)
-            u, v = v5[:, :, 0], v5[:, :, 1]                  # (34,bl,half,m)
-            tw = jnp.asarray(tw_dig)[:, None, :, None]
+            v3 = a.reshape(NDIGITS, bl, 2 * half * m)
+            u, v = v3[:, :, :half * m], v3[:, :, half * m:]
+            tw = jnp.broadcast_to(
+                jnp.asarray(tw_dig)[:, :, None],
+                (NDIGITS, half, m)).reshape(NDIGITS, 1, half * m)
             a0, a1 = _stage_op(u, v, tw, norm, reverse_order)
-            a = jnp.stack([a0, a1], axis=2).reshape(NDIGITS, L, m)
+            a = jnp.concatenate([a0, a1], axis=2).reshape(NDIGITS, L, m)
         else:
             blocks = n // (2 * half)
-            v4 = a.reshape(NDIGITS, blocks, 2, half)
-            u, v = v4[:, :, 0, :], v4[:, :, 1, :]
+            v3 = a.reshape(NDIGITS, blocks, 2 * half)
+            u, v = v3[:, :, :half], v3[:, :, half:]
             tw = jnp.asarray(tw_dig)[:, None, :]
             a0, a1 = _stage_op(u, v, tw, norm, reverse_order)
-            a = jnp.stack([a0, a1], axis=2).reshape(NDIGITS, n)
+            a = jnp.concatenate([a0, a1], axis=2).reshape(NDIGITS, n)
     if transposed:
         a = a.transpose(0, 2, 1).reshape(NDIGITS, n)
     return a

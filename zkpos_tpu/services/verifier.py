@@ -18,7 +18,7 @@ from __future__ import annotations
 import base64
 import csv
 import json
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from ..crypto.bn254 import fr_from_bytes, fr_to_bytes
 from ..crypto.poseidon_ref import poseidon, PoseidonHasher
@@ -43,32 +43,76 @@ def _batch_commitment(root: bytes, before: bytes, after: bytes,
         mn, mx]))
 
 
-def verify_batch_proofs(proof_rows: List[dict], cex_assets: List[CexAssetInfo],
-                        zk_key_prefix: str, tiers=None) -> None:
-    """proof_rows: dicts with keys matching the exported CSV columns."""
-    tiers = tiers or C.get_tiers()
-    vks: Dict[int, object] = {}
-    rows = sorted(proof_rows, key=lambda r: int(r["batch_number"]))
+def _verify_one_row(args) -> Optional[str]:
+    """Worker body for one proof row (reference verifier main.go:194-304
+    runs >=16 such workers); returns an error string or None.  Plain data
+    in/out so it runs in a fork child."""
+    row, vk_path = args
+    vk = _vk_cached(vk_path)
+    proof = proof_from_base64(row["proof_info"])
+    comms = [base64.b64decode(c)
+             for c in json.loads(row["cex_asset_list_commitments"])]
+    roots = [base64.b64decode(r)
+             for r in json.loads(row["account_tree_roots"])]
+    mn, mx = int(row["account_min_index"]), int(row["account_max_index"])
+    stored = base64.b64decode(row["batch_commitment"])
+    expect = _batch_commitment(roots[0], comms[0], comms[1], mn, mx)
+    if stored != expect:
+        return f"batch {row['batch_number']}: commitment mismatch"
+    if not g16.verify(proof, vk, [fr_from_bytes(stored)]):
+        return f"batch {row['batch_number']}: groth16 verify failed"
+    return None
 
+
+_VK_CACHE: Dict[str, object] = {}
+
+
+def _vk_cached(path: str):
+    vk = _VK_CACHE.get(path)
+    if vk is None:
+        vk = _VK_CACHE[path] = load_artifact(path)
+    return vk
+
+
+def verify_batch_proofs(proof_rows: List[dict], cex_assets: List[CexAssetInfo],
+                        zk_key_prefix: str, tiers=None,
+                        workers: Optional[int] = None) -> None:
+    """proof_rows: dicts with keys matching the exported CSV columns.
+
+    Per-proof checks (commitment recompute + pairing verify, ~ms each but
+    python-bound) run on a process pool (reference main.go:176-180 uses
+    >= 16 workers); the chain validation stays serial by design
+    (:305-334).  ZKPOS_VERIFY_WORKERS=0 forces the serial path."""
+    import os as _os
+    tiers = tiers or C.get_tiers()
+    rows = sorted(proof_rows, key=lambda r: int(r["batch_number"]))
+    jobs = []
     for row in rows:
         assets = int(row["assets_count"])
-        if assets not in vks:
-            _, vk_f, _ = key_file_names(zk_key_prefix, assets, tiers[assets])
-            vks[assets] = load_artifact(vk_f)
-        proof = proof_from_base64(row["proof_info"])
-        comms = [base64.b64decode(c)
-                 for c in json.loads(row["cex_asset_list_commitments"])]
-        roots = [base64.b64decode(r)
-                 for r in json.loads(row["account_tree_roots"])]
-        mn, mx = int(row["account_min_index"]), int(row["account_max_index"])
-        stored = base64.b64decode(row["batch_commitment"])
-        expect = _batch_commitment(roots[0], comms[0], comms[1], mn, mx)
-        if stored != expect:
-            raise VerificationError(
-                f"batch {row['batch_number']}: commitment mismatch")
-        if not g16.verify(proof, vks[assets], [fr_from_bytes(stored)]):
-            raise VerificationError(
-                f"batch {row['batch_number']}: groth16 verify failed")
+        _, vk_f, _ = key_file_names(zk_key_prefix, assets, tiers[assets])
+        jobs.append((row, vk_f))
+    if workers is None:
+        workers = int(_os.environ.get("ZKPOS_VERIFY_WORKERS",
+                                      str(max(1, _os.cpu_count() or 2))))
+    pool = None
+    if workers > 1 and len(jobs) > 1:
+        try:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            pool = ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("fork"))
+        except (ImportError, ValueError, OSError):
+            pool = None
+    if pool is not None:
+        with pool:
+            for err in pool.map(_verify_one_row, jobs):
+                if err is not None:
+                    raise VerificationError(err)
+    else:
+        for job in jobs:
+            err = _verify_one_row(job)
+            if err is not None:
+                raise VerificationError(err)
 
     # serial chain validation (:305-334)
     zero_cex = [CexAssetInfo(symbol=a.symbol, index=a.index,
