@@ -108,7 +108,9 @@ def _eval_fn(n_terms: int, d: int):
     @jax.jit
     def run(z_mont, var_idx, row_idx, coeff_dig):
         zg = jnp.take(z_mont, var_idx, axis=1)          # (34, T)
-        prod = FR.mont_mul(zg, coeff_dig)               # (34, T) <=1.02p
+        # coeff digits are pinned as uint8 (canonical digits <= 255): 4x
+        # less HBM residency than f32 on the ~8 GB usable axon chip
+        prod = FR.mont_mul(zg, coeff_dig.astype(jnp.float32))
         # scatter-add along the MINOR axis: keeps every temp in the fat
         # (34, N) layout (segment_sum's (T, 34) intermediate was padded
         # (T, 128) by XLA tiling — ~4x the HBM at production T)
@@ -131,7 +133,7 @@ def eval_matrix_device(cs, z_mont, which: int, d: int):
     key = ("dev", which)
     if key not in cache:
         cache[key] = (jax.device_put(vars_), jax.device_put(rows),
-                      jax.device_put(coeffs))
+                      jax.device_put(coeffs.astype(np.uint8)))
     dv, dr, dc = cache[key]
     return _eval_fn(len(rows), d)(z_mont, dv, dr, dc)
 
@@ -184,16 +186,37 @@ def _h_fn(d: int):
     f32[1,32768,32] tiles — pushed a fused 2^21 graph 84MB past the
     15.75G HBM)."""
 
+    import os as _os
+    # Stage barriers ON by default on the accelerator: without them the
+    # whole async pipeline (QAP evals + 6 NTTs) enqueues at once and the
+    # runtime holds several stages' multi-GB transients simultaneously —
+    # the reproduced steady-cycle ResourceExhausted.  With barriers the
+    # same pipeline runs in ~29 s at d=2^21.  ZKPOS_H_SYNC=0 disables.
+    _sync = (_os.environ.get("ZKPOS_H_SYNC", "1") == "1"
+             and jax.default_backend() != "cpu")
+    _trace = _os.environ.get("ZKPOS_TRACE") == "1"
+
+    def _ck(tag, x):
+        if _sync:
+            import time as _t
+            t0 = _t.time()
+            jax.block_until_ready(x)
+            float(jnp.sum(x[:, :8]))        # force through the tunnel
+            if _trace:
+                print(f'{{"hsync": "{tag}", "s": {_t.time() - t0:.2f}}}',
+                      flush=True)
+        return x
+
     def call(av, bv, cv):
         gp, gip = _coset_tables_dev(d)
-        a_cof = ntt_mont(av, inverse=True)
-        b_cof = ntt_mont(bv, inverse=True)
-        c_cof = ntt_mont(cv, inverse=True)
-        a_cos = ntt_mont(_scale_jit(a_cof, gp))
-        b_cos = ntt_mont(_scale_jit(b_cof, gp))
-        c_cos = ntt_mont(_scale_jit(c_cof, gp))
-        h_cos = _ab_minus_c(a_cos, b_cos, c_cos)
-        h_cof = ntt_mont(h_cos, inverse=True)
+        a_cof = _ck("ia", ntt_mont(av, inverse=True))
+        b_cof = _ck("ib", ntt_mont(bv, inverse=True))
+        c_cof = _ck("ic", ntt_mont(cv, inverse=True))
+        a_cos = _ck("fa", ntt_mont(_ck("sa", _scale_jit(a_cof, gp))))
+        b_cos = _ck("fb", ntt_mont(_ck("sb", _scale_jit(b_cof, gp))))
+        c_cos = _ck("fc", ntt_mont(_ck("sc", _scale_jit(c_cof, gp))))
+        h_cos = _ck("abc", _ab_minus_c(a_cos, b_cos, c_cos))
+        h_cof = _ck("ih", ntt_mont(h_cos, inverse=True))
         return _scale_jit(h_cof, gip)   # un-scale; z_cos_inv in table
     return call
 
@@ -214,9 +237,22 @@ def compute_h_device(cs, z_ints, d: int):
     else:
         z_mont = jnp.asarray(FR.ints_to_digits(
             [(v * FR.r_mont) % MOD for v in z_ints]))
-    av = eval_matrix_device(cs, z_mont, 0, d)
-    bv = eval_matrix_device(cs, z_mont, 1, d)
-    cv = eval_matrix_device(cs, z_mont, 2, d)
+    _os = __import__("os")
+    _sync = (_os.environ.get("ZKPOS_H_SYNC", "1") == "1"
+             and jax.default_backend() != "cpu")
+    _trace = _os.environ.get("ZKPOS_TRACE") == "1"
+
+    def _cke(tag, x):
+        if _sync:
+            jax.block_until_ready(x)
+            float(jnp.sum(x[:, :8]))
+            if _trace:
+                print(f'{{"hsync": "{tag}"}}', flush=True)
+        return x
+
+    av = _cke("evA", eval_matrix_device(cs, z_mont, 0, d))
+    bv = _cke("evB", eval_matrix_device(cs, z_mont, 1, d))
+    cv = _cke("evC", eval_matrix_device(cs, z_mont, 2, d))
     h = _h_fn(d)(av, bv, cv)
     if as_limbs:
         hm = natv.digits_to_u256(np.asarray(h, dtype=np.float64))
