@@ -374,12 +374,17 @@ def _chunk_body_flat(na, W, Cn, c, base, sdig, sidx, dense, carry_dig,
     heads = jnp.concatenate(
         [jnp.ones((W, 1), dtype=bool),
          sdig[:, 1:] != sdig[:, :-1]], axis=1)            # (W, Cn)
-    if os.environ.get("ZKPOS_MSM_SCAN") == "hs":
-        scan = seg_scan_pallas(
-            na, tuple(a.reshape(34, S) for a in pts3), heads.reshape(S))
-    else:
+    # Default scan: the all-Pallas HS kernel.  The recursive tree scan
+    # (ZKPOS_MSM_SCAN=tree) produced a WRONG G2 MSM at the production
+    # class (n=1.92M, Cn_eff=32768, 60 chunks — scripts/probe_g2_bisect:
+    # tree False / hs True / tree-at-30-chunks True); until that is
+    # root-caused it stays opt-in.
+    if os.environ.get("ZKPOS_MSM_SCAN") == "tree":
         scan = _seg_scan_tree(
             na, heads.reshape(S), tuple(a.reshape(34, S) for a in pts3))
+    else:
+        scan = seg_scan_pallas(
+            na, tuple(a.reshape(34, S) for a in pts3), heads.reshape(S))
     scan3 = tuple(a.reshape(34, W, Cn) for a in scan)
     # dense update: binary search each bucket's last occurrence
     queries = np.broadcast_to(np.arange(nb, dtype=np.int32), (W, nb))
@@ -430,7 +435,10 @@ def _fold_body_flat(na, W, c, dense):
     S = W * nb
     heads = jnp.zeros((W, nb), dtype=bool).at[:, 0].set(True).reshape(S)
     rev = tuple(a[:, :, ::-1].reshape(34, S) for a in dense)
-    suf = _seg_scan_tree(na, heads, rev)
+    if os.environ.get("ZKPOS_MSM_SCAN") == "tree":
+        suf = _seg_scan_tree(na, heads, rev)
+    else:
+        suf = seg_scan_pallas(na, rev, heads)
     suf3 = tuple(a.reshape(34, W, nb)[:, :, ::-1] for a in suf)
     # bucket 0 has weight 0: replace T_0 with the identity column
     ids = _id_arrs_np(na)
@@ -438,7 +446,11 @@ def _fold_body_flat(na, W, c, dense):
                   for i in ids)
     arr = tuple(jnp.concatenate([i, s[:, :, 1:]], axis=2)
                 for i, s in zip(idcol, suf3))
-    tot = _seg_scan_tree(na, heads, tuple(a.reshape(34, S) for a in arr))
+    flat = tuple(a.reshape(34, S) for a in arr)
+    if os.environ.get("ZKPOS_MSM_SCAN") == "tree":
+        tot = _seg_scan_tree(na, heads, flat)
+    else:
+        tot = seg_scan_pallas(na, flat, heads)
     rw = tuple(a.reshape(34, W, nb)[:, :, -1] for a in tot)   # (34, W)
     return _horner_windows(na, W, c, rw)
 
