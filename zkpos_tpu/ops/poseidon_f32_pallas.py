@@ -54,7 +54,8 @@ from . import fr_f32 as fd
 
 ND = fd.NDIGITS            # 34
 NC = fd.NCONV              # 67
-TILE = 512                 # hashes per grid step
+TILE = 1024                # hashes per grid step (r5 sweep: 256 1.86 /
+                           # 512 2.38 / 1024 2.52 / 2048 2.42 M hashes/s)
 INV256 = float(1.0 / 256.0)
 NCP = 72                   # 8-aligned mix output block height
 RB = 80                    # 16-aligned (bf16 sublane) sparse weight block
